@@ -1,0 +1,357 @@
+"""Dual-token "Explorative Attention" Vision Transformer, TPU-native.
+
+Reference semantics (vit.py:93-167, vit_hg.py:46-402, README.md:41-58): a ViT
+whose single CLS token is replaced by TWO learnable tokens — an *exploration*
+token and an *exploitation* token. Each token is prepended (separately) to the
+shared patch embedding, positional embeddings are added, and the encoder runs
+over each resulting sequence; pooled output is each sequence's token 0.
+The exploration stream feeds the intrinsic-value head, the exploitation
+stream feeds the extrinsic-value head, the aggregate feeds the policy head.
+
+TPU-first redesign — one encoder pass, not two:
+the reference runs the full encoder twice per forward (vit_hg.py:322-366;
+model.py:273-280). Here the two sequences are stacked along the batch axis
+([B, N, D] + [B, N, D] -> [2B, N, D]) and the encoder runs once: identical
+math (sequences never interact across the batch axis), double MXU batch,
+half the kernel launches. Attention dispatches to a fused Pallas
+flash-attention kernel (`ops/flash.py`) or an XLA einsum path.
+
+Known reference bug, intentionally NOT replicated: reference vit.py:142/146
+test ``EXPLOITATIVE_ATTN`` in both branches, so the exploration call prepends
+no token and no positional embedding and returns a patch embedding. We build
+the intended semantics (each call gets its own token; both get pos-emb),
+which is also what the reference's own HF variant implements
+(vit_hg.py:101-163).
+
+Two architecture flavors, selected by ``ViT_implementation_type``:
+
+- :class:`DualTokenViT` (type 0): lucidrains-style — pre-norm blocks, qkv
+  without bias, LayerNorm patch embedding, final encoder LayerNorm,
+  N(0,1)-init tokens/pos-embeddings (reference vit.py).
+- :class:`DualTokenViTHG` (type 1): HF-style — conv patch projection, qkv
+  with bias, pre/post LayerNorms per block with configurable eps,
+  trunc-normal(initializer_range) init, interpolatable pos-embeddings
+  (reference vit_hg.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from eavit_tpu.config import ViTConfig, ViTHGConfig
+from eavit_tpu.models.layers import make_dense, torch_linear_kernel_init
+from eavit_tpu.ops.attention import mha
+
+
+def patchify(img: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """[B, C, H, W] -> [B, (H/p)*(W/p), p*p*C].
+
+    Feature order within a patch matches the reference's einops
+    ``'b c (h p1) (w p2) -> b (h w) (p1 p2 c)'`` (vit.py:110): rows, then
+    columns, then channels fastest.
+    """
+    b, c, h, w = img.shape
+    gh, gw = h // patch, w // patch
+    x = img.reshape(b, c, gh, patch, gw, patch)
+    x = x.transpose(0, 2, 4, 3, 5, 1)  # [B, gh, gw, p1, p2, C]
+    return x.reshape(b, gh * gw, patch * patch * c)
+
+
+class MultiHeadAttention(nn.Module):
+    """Pre-norm MHA (lucidrains Attention, reference vit.py:39-73)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    dropout: float = 0.0
+    qkv_bias: bool = False
+    pre_norm: bool = True
+    norm_eps: float = 1e-5
+    attention_impl: str = "xla"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        inner = self.heads * self.dim_head
+        if self.pre_norm:
+            x = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x)
+        qkv = nn.Dense(
+            inner * 3,
+            use_bias=self.qkv_bias,
+            kernel_init=torch_linear_kernel_init(),
+            dtype=self.dtype,
+            name="to_qkv",
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_split(t):
+            b, n, _ = t.shape
+            return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        out = mha(
+            heads_split(q), heads_split(k), heads_split(v), impl=self.attention_impl
+        )
+        # attention-prob dropout (reference vit.py:68) is folded away when 0;
+        # for nonzero rates apply dropout on the output as the flash kernel
+        # cannot drop individual probabilities (documented divergence).
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        b, _, n, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+
+        project_out = not (self.heads == 1 and self.dim_head == self.dim)
+        if project_out:
+            out = nn.Dense(
+                self.dim,
+                kernel_init=torch_linear_kernel_init(),
+                bias_init=torch_linear_kernel_init(),
+                dtype=self.dtype,
+                name="to_out",
+            )(out)
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class FeedForward(nn.Module):
+    """Pre-norm MLP with GELU (reference vit.py:24-37)."""
+
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    pre_norm: bool = True
+    norm_eps: float = 1e-5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.pre_norm:
+            x = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x)
+        x = nn.Dense(
+            self.hidden_dim,
+            kernel_init=torch_linear_kernel_init(),
+            bias_init=torch_linear_kernel_init(),
+            dtype=self.dtype,
+            name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(
+            self.dim,
+            kernel_init=torch_linear_kernel_init(),
+            bias_init=torch_linear_kernel_init(),
+            dtype=self.dtype,
+            name="fc2",
+        )(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class Transformer(nn.Module):
+    """Pre-norm encoder with final LayerNorm (reference vit.py:75-91)."""
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    qkv_bias: bool = False
+    norm_eps: float = 1e-5
+    final_norm: bool = True
+    attention_impl: str = "xla"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        for i in range(self.depth):
+            x = x + MultiHeadAttention(
+                dim=self.dim,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                dropout=self.dropout,
+                qkv_bias=self.qkv_bias,
+                norm_eps=self.norm_eps,
+                attention_impl=self.attention_impl,
+                dtype=self.dtype,
+                name=f"attn_{i}",
+            )(x, deterministic)
+            x = x + FeedForward(
+                dim=self.dim,
+                hidden_dim=self.mlp_dim,
+                dropout=self.dropout,
+                norm_eps=self.norm_eps,
+                dtype=self.dtype,
+                name=f"ff_{i}",
+            )(x, deterministic)
+        if self.final_norm:
+            x = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x)
+        return x
+
+
+class DualTokenViT(nn.Module):
+    """Lucidrains-flavor dual-token ViT (reference vit.py:93-167)."""
+
+    cfg: ViTConfig
+    image_size: int
+    channels: int
+    attention_impl: str = "xla"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self, img: jnp.ndarray, deterministic: bool = True
+    ) -> Tuple[jnp.ndarray, ...]:
+        """img: [B, C, H, W] float in [0, 1].
+
+        Returns ``(x_explorative, x_exploitative)`` with explorative
+        attention, else ``(x_cls,)``.
+        """
+        c = self.cfg
+        assert self.image_size % c.patch_size == 0, (
+            "Image dimensions must be divisible by the patch size."
+        )
+        num_patches = (self.image_size // c.patch_size) ** 2
+        patch_dim = self.channels * c.patch_size**2
+
+        x = patchify(img.astype(self.dtype or jnp.float32), c.patch_size)
+        x = nn.LayerNorm(name="patch_norm_in")(x)
+        x = nn.Dense(
+            c.dim,
+            kernel_init=torch_linear_kernel_init(),
+            bias_init=torch_linear_kernel_init(),
+            dtype=self.dtype,
+            name="patch_proj",
+        )(x)
+        x = nn.LayerNorm(name="patch_norm_out")(x)
+
+        b, n, _ = x.shape
+        assert n == num_patches and x.shape[-1] == c.dim
+        del patch_dim
+
+        pos = self.param(
+            "pos_embedding", nn.initializers.normal(1.0), (1, num_patches + 1, c.dim)
+        )
+
+        def with_token(token):
+            tok = jnp.broadcast_to(token.astype(x.dtype), (b, 1, c.dim))
+            seq = jnp.concatenate([tok, x], axis=1)
+            return seq + pos[:, : n + 1].astype(x.dtype)
+
+        transformer = Transformer(
+            dim=c.dim,
+            depth=c.depth,
+            heads=c.heads,
+            dim_head=c.dim_head,
+            mlp_dim=c.mlp_dim,
+            dropout=c.dropout,
+            attention_impl=self.attention_impl,
+            dtype=self.dtype,
+            name="transformer",
+        )
+        emb_drop = nn.Dropout(c.emb_dropout)
+
+        if c.use_explorative_attn:
+            tok_explore = self.param(
+                "exploration_token", nn.initializers.normal(1.0), (1, 1, c.dim)
+            )
+            tok_exploit = self.param(
+                "exploitation_token", nn.initializers.normal(1.0), (1, 1, c.dim)
+            )
+            # Stack the two token-variants along batch: one encoder pass.
+            seq = jnp.concatenate(
+                [with_token(tok_explore), with_token(tok_exploit)], axis=0
+            )  # [2B, n+1, dim]
+            seq = emb_drop(seq, deterministic=deterministic)
+            out = transformer(seq, deterministic)[:, 0]  # [2B, dim]
+            out = out.astype(jnp.float32)
+            return out[:b], out[b:]
+
+        tok_cls = self.param("cls_token", nn.initializers.normal(1.0), (1, 1, c.dim))
+        seq = emb_drop(with_token(tok_cls), deterministic=deterministic)
+        out = transformer(seq, deterministic)[:, 0].astype(jnp.float32)
+        return (out,)
+
+
+class DualTokenViTHG(nn.Module):
+    """HF-flavor dual-token ViT (reference vit_hg.py:46-402).
+
+    Differences from the lucidrains flavor, matching the reference's HF fork:
+    conv patch projection, qkv bias, per-block pre/post LayerNorm pairs with
+    ``layer_norm_eps``, GELU intermediate of ``intermediate_size``,
+    trunc-normal(initializer_range) weight init for tokens and projections,
+    final LayerNorm then token-0 pooling (the reference reads
+    ``last_hidden_state[:, 0]``, vit_hg.py / model.py:313-321).
+    """
+
+    cfg: ViTHGConfig
+    image_size: int
+    channels: int
+    attention_impl: str = "xla"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self, img: jnp.ndarray, deterministic: bool = True
+    ) -> Tuple[jnp.ndarray, ...]:
+        c = self.cfg
+        head_dim = c.hidden_size // c.num_attention_heads
+        num_patches = (self.image_size // c.patch_size) ** 2
+        tn_init = nn.initializers.truncated_normal(stddev=c.initializer_range)
+
+        x = img.astype(self.dtype or jnp.float32).transpose(0, 2, 3, 1)  # NHWC
+        x = nn.Conv(
+            c.hidden_size,
+            kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            padding="VALID",
+            kernel_init=tn_init,
+            dtype=self.dtype,
+            name="patch_proj",
+        )(x)
+        b = x.shape[0]
+        x = x.reshape(b, num_patches, c.hidden_size)
+
+        pos = self.param(
+            "pos_embedding", tn_init, (1, num_patches + 1, c.hidden_size)
+        )
+
+        def with_token(token):
+            tok = jnp.broadcast_to(token.astype(x.dtype), (b, 1, c.hidden_size))
+            seq = jnp.concatenate([tok, x], axis=1)
+            return seq + pos.astype(x.dtype)
+
+        transformer = Transformer(
+            dim=c.hidden_size,
+            depth=c.num_hidden_layers,
+            heads=c.num_attention_heads,
+            dim_head=head_dim,
+            mlp_dim=c.intermediate_size,
+            dropout=c.hidden_dropout_prob,
+            qkv_bias=c.qkv_bias,
+            norm_eps=c.layer_norm_eps,
+            attention_impl=self.attention_impl,
+            dtype=self.dtype,
+            name="encoder",
+        )
+        emb_drop = nn.Dropout(c.hidden_dropout_prob)
+
+        if c.use_explorative_attn:
+            tok_explore = self.param(
+                "exploration_token", tn_init, (1, 1, c.hidden_size)
+            )
+            tok_exploit = self.param(
+                "exploitation_token", tn_init, (1, 1, c.hidden_size)
+            )
+            seq = jnp.concatenate(
+                [with_token(tok_explore), with_token(tok_exploit)], axis=0
+            )
+            seq = emb_drop(seq, deterministic=deterministic)
+            out = transformer(seq, deterministic)[:, 0].astype(jnp.float32)
+            return out[:b], out[b:]
+
+        tok_cls = self.param("cls_token", tn_init, (1, 1, c.hidden_size))
+        seq = emb_drop(with_token(tok_cls), deterministic=deterministic)
+        out = transformer(seq, deterministic)[:, 0].astype(jnp.float32)
+        return (out,)

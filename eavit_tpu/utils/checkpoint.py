@@ -1,0 +1,130 @@
+"""Checkpoint save/restore with reference-compatible semantics.
+
+The reference checkpoints one big ``torch.save`` dict: model/optimizer
+state, pickled RMS objects, counters, metric deques and room sets
+(reference train.py:883-961), with scheduled saves every ``saveCkptEvery``
+updates and three "best model" variants saved under suffixed filenames
+(train.py:904-923). Resume restores everything and skips the obs-norm
+warm-up (train.py:198-238, 503).
+
+Here the device state (params, opt state, normalizer pytrees, counters) is
+serialized with Orbax; host-side metadata (episode stats, config snapshot)
+goes to a JSON sidecar. Best-model suffixes are preserved verbatim.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+BEST_SUFFIXES = {
+    "rollout_reward": "__BestModelForMeanExtrinsicRolloutRewards",
+    "episode_return": "__BestModelForMeanUndiscountedEpisodeReturn",
+    "ssl_loss": "__BestModelForSSLEvaluationEpochLoss",
+}
+
+
+def _to_jsonable(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        return {k: _to_jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_to_jsonable(v) for v in obj]
+    if isinstance(obj, set):
+        return sorted(_to_jsonable(v) for v in obj)
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    if dataclasses.is_dataclass(obj):
+        return _to_jsonable(dataclasses.asdict(obj))
+    if hasattr(obj, "value") and not isinstance(obj, (int, float, str)):
+        return obj.value  # enums
+    return obj
+
+
+def save_checkpoint(
+    path: str,
+    state: Any,
+    metadata: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Serialize an AgentState pytree + metadata. ``path`` is a file prefix;
+    writes ``<path>.msgpack`` and ``<path>.json``."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    host_state = jax.device_get(state)
+    with open(path + ".msgpack", "wb") as f:
+        f.write(serialization.to_bytes(host_state))
+    with open(path + ".json", "w") as f:
+        json.dump(_to_jsonable(metadata or {}), f, indent=2, default=str)
+    return path
+
+
+def load_checkpoint(path: str, template: Any) -> Tuple[Any, Dict[str, Any]]:
+    """Restore into the structure of ``template`` (from agent.init_state)."""
+    if path.endswith(".msgpack"):
+        path = path[: -len(".msgpack")]
+    with open(path + ".msgpack", "rb") as f:
+        state = serialization.from_bytes(template, f.read())
+    metadata: Dict[str, Any] = {}
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            metadata = json.load(f)
+    return state, metadata
+
+
+class CheckpointManager:
+    """Scheduled + best-metric checkpointing (reference train.py:883-961)."""
+
+    def __init__(self, directory: str, run_name: str, save_every: int):
+        self.directory = directory
+        self.run_name = run_name
+        self.save_every = max(1, save_every)
+        self.best: Dict[str, float] = {
+            "rollout_reward": -float("inf"),
+            "episode_return": -float("inf"),
+            "ssl_loss": float("inf"),
+        }
+
+    def _path(self, suffix: str = "") -> str:
+        return os.path.join(self.directory, self.run_name + suffix)
+
+    def maybe_save(
+        self,
+        state: Any,
+        global_update: int,
+        metadata: Dict[str, Any],
+        mean_rollout_reward: Optional[float] = None,
+        mean_episode_return: Optional[float] = None,
+        ssl_loss: Optional[float] = None,
+    ) -> Dict[str, str]:
+        """Returns {kind: path} for every checkpoint written this call."""
+        written: Dict[str, str] = {}
+        if global_update % self.save_every == 0:
+            written["scheduled"] = save_checkpoint(self._path(), state, metadata)
+        if (
+            mean_rollout_reward is not None
+            and mean_rollout_reward > self.best["rollout_reward"]
+        ):
+            self.best["rollout_reward"] = mean_rollout_reward
+            written["rollout_reward"] = save_checkpoint(
+                self._path(BEST_SUFFIXES["rollout_reward"]), state, metadata
+            )
+        if (
+            mean_episode_return is not None
+            and mean_episode_return > self.best["episode_return"]
+        ):
+            self.best["episode_return"] = mean_episode_return
+            written["episode_return"] = save_checkpoint(
+                self._path(BEST_SUFFIXES["episode_return"]), state, metadata
+            )
+        if ssl_loss is not None and ssl_loss < self.best["ssl_loss"]:
+            self.best["ssl_loss"] = ssl_loss
+            written["ssl_loss"] = save_checkpoint(
+                self._path(BEST_SUFFIXES["ssl_loss"]), state, metadata
+            )
+        return written
