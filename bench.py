@@ -1,0 +1,274 @@
+"""Benchmark: env frames/sec/chip for rollout+update at the flagship scale.
+
+Workload (reference flagship, BASELINE.md): PPO + original_RND with the
+dual-token ViT (dim 256, depth 3, heads 8, dim_head 32, patch 6 -> 197
+tokens), 64 envs x 128 steps = 8,192 frames per parameter update, 4 epochs x
+32 minibatches of 256. The environment is the deterministic synthetic
+Atari-compatible env (pre-rendered frames) so the number measures the
+framework, not an emulator.
+
+Two pipelines on the SAME chip:
+
+- **optimized** (this framework's design): stacked dual-token single encoder
+  pass, bf16 matmuls, whole-update-in-one-jit (GAE + normalizers + RND +
+  epoch x minibatch SGD as lax.scans), uint8 H2D once per rollout.
+- **naive baseline** (the reference's execution model, faithfully
+  translated): f32 everywhere, two separate encoder passes per forward,
+  per-step intrinsic-reward device calls, host-side numpy minibatch
+  indexing with one device transfer + one jitted grad step per minibatch
+  (what DDP+torch eager does, agents.py:275-301).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps_optimized, "unit": "frames/s",
+   "vs_baseline": fps_optimized / fps_naive}
+
+Env knobs: BENCH_UPDATES (timed updates, default 3), BENCH_NUM_ENVS,
+BENCH_NUM_STEP, BENCH_SKIP_NAIVE=1 (report vs_baseline from cached value).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from eavit_tpu.config import Config, TrainMethod  # noqa: E402
+from eavit_tpu.envs.synthetic import SyntheticVectorEnv  # noqa: E402
+from eavit_tpu.rl.agent import RNDAgent, Rollout  # noqa: E402
+from eavit_tpu.rl.rollout import RolloutCollector  # noqa: E402
+
+NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 64))
+NUM_STEP = int(os.environ.get("BENCH_NUM_STEP", 128))
+UPDATES = int(os.environ.get("BENCH_UPDATES", 3))
+
+
+def flagship_cfg(**kw) -> Config:
+    base = dict(
+        train_method=TrainMethod.ORIGINAL_RND,
+        num_step=NUM_STEP,
+        num_env_per_process=NUM_ENVS,
+        epoch=4,
+        mini_batch=32,
+        obs_norm_step=0,  # warm-up excluded from throughput measurement
+        max_step_per_episode=4500,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def run_pipeline(cfg: Config, naive: bool) -> float:
+    env = SyntheticVectorEnv(
+        cfg.num_env_per_process, seed=42, max_episode_steps=cfg.max_step_per_episode
+    )
+    agent = RNDAgent(cfg, env.action_space_n)
+    rng = jax.random.PRNGKey(0)
+    rng, k = jax.random.split(rng)
+    state = agent.init_state(k)
+    collector = RolloutCollector(cfg, agent, env)
+    states = env.reset()
+    # seed obs_rms so normalization is realistic
+    state = agent.update_obs_rms(
+        state, jnp.asarray(collector._next_obs_of(states))
+    )
+
+    def one_update(state, states, rng):
+        k1, k2 = jax.random.split(rng)
+        rollout, states = collector.collect(state.params, states, k1)
+        if naive:
+            state = naive_update(agent, cfg, state, rollout, k2)
+        else:
+            state, metrics = agent.update(state, rollout, k2)
+            jax.block_until_ready(metrics["train/loss"])
+        return state, states
+
+    # warm-up (compile)
+    rng, k = jax.random.split(rng)
+    state, states = one_update(state, states, k)
+
+    frames = cfg.num_step * cfg.num_env_per_process
+    t0 = time.perf_counter()
+    for _ in range(UPDATES):
+        rng, k = jax.random.split(rng)
+        state, states = one_update(state, states, k)
+    dt = time.perf_counter() - t0
+    return frames * UPDATES / dt
+
+
+# ---------------------------------------------------------------------------
+# Naive reference-style pipeline: host-driven minibatch loop, f32, separate
+# device call per minibatch with per-batch H2D (agents.py:275-301 semantics).
+# ---------------------------------------------------------------------------
+
+
+def naive_update(agent: RNDAgent, cfg: Config, state, ro: Rollout, rng):
+    import optax
+
+    T, N = ro.rewards.shape
+    num_samples = T * N
+    batch_size = num_samples // cfg.mini_batch
+
+    # per-step intrinsic reward device calls (reference computes one per
+    # env step, train.py:662-673)
+    int_rows = []
+    for t in range(T):
+        int_rows.append(
+            np.asarray(
+                agent._intrinsic(
+                    state.params, state.rnd_target, state.obs_rms, ro.next_obs[t]
+                )
+            )
+        )
+    total_int_reward = np.stack(int_rows, axis=1)  # [N, T]
+
+    from eavit_tpu.rl import normalizer as norm
+    from eavit_tpu.ops.gae import make_train_data
+
+    new_filter, per_step = norm.reward_filter_scan(
+        state.reward_filter, jnp.asarray(total_int_reward), cfg.int_gamma
+    )
+    flat = np.asarray(per_step).reshape(-1)
+    reward_rms = norm.rms_update_from_moments(
+        state.reward_rms, flat.mean(), flat.var(), per_step.shape[0]
+    )
+    total_int_reward = total_int_reward / np.sqrt(float(reward_rms.var))
+
+    total_reward = np.clip(np.asarray(ro.rewards).T, -1, 1)
+    total_done = np.asarray(ro.dones).T
+    ext_target, ext_adv = make_train_data(
+        jnp.asarray(total_reward), jnp.asarray(total_done),
+        jnp.asarray(ro.value_ext).T, cfg.gamma, cfg.gae_lambda, cfg.use_gae,
+    )
+    int_target, int_adv = make_train_data(
+        jnp.asarray(total_int_reward), jnp.zeros((N, T)),
+        jnp.asarray(ro.value_int).T, cfg.int_gamma, cfg.gae_lambda, cfg.use_gae,
+    )
+    total_adv = np.asarray(int_adv) * cfg.int_coef + np.asarray(ext_adv) * cfg.ext_coef
+
+    def env_major(x):
+        x = np.asarray(x)
+        return np.swapaxes(x, 0, 1).reshape((num_samples,) + x.shape[2:])
+
+    next_obs_flat = env_major(ro.next_obs).astype(np.float32)
+    obs_rms = norm.rms_update(state.obs_rms, jnp.asarray(next_obs_flat))
+    mean = np.asarray(obs_rms.mean)
+    std = np.sqrt(np.asarray(obs_rms.var))
+    rnd_in = np.clip((next_obs_flat - mean) / std, -5, 5).astype(np.float32)
+
+    s_all = env_major(ro.states).astype(np.float32) / 255.0  # f32 frames (torch-style)
+    y_all = env_major(ro.actions)
+    pol_all = env_major(ro.policy)
+    ext_t = np.asarray(ext_target).reshape(-1)
+    int_t = np.asarray(int_target).reshape(-1)
+
+    if not hasattr(agent, "_naive_step"):
+        def mb_step(params, opt_state, batch, key):
+            def loss_fn(params):
+                loss, aux = agent_loss(params, batch, key)
+                return loss
+
+            # reuse the agent's loss via a minimal closure
+            def agent_loss(params, batch, key):
+                from eavit_tpu.rl.ppo import (
+                    categorical_entropy,
+                    categorical_log_prob,
+                    ppo_surrogate,
+                )
+                from eavit_tpu.models.rnd import rnd_loss as rnd_loss_fn
+
+                k_drop, k_noise, k_mask = jax.random.split(key, 3)
+                out = agent.network.apply(
+                    {"params": params["policy"]},
+                    batch["s"],
+                    False,
+                    rngs={"dropout": k_drop, "noise": k_noise},
+                )
+                log_prob = categorical_log_prob(out.policy, batch["y"])
+                log_prob_old = categorical_log_prob(batch["old_policy"], batch["y"])
+                ppo = ppo_surrogate(
+                    log_prob, log_prob_old, batch["adv"], out.value_ext,
+                    batch["ext_target"], categorical_entropy(out.policy),
+                    cfg.ppo_eps, out.value_int, batch["int_target"],
+                )
+                t = agent.rnd_target_net.apply({"params": state.rnd_target}, batch["rnd_in"])
+                p = agent.rnd_pred.apply({"params": params["rnd_pred"]}, batch["rnd_in"])
+                mask_u = jax.random.uniform(k_mask, (batch["rnd_in"].shape[0],))
+                rl = rnd_loss_fn(t, p, mask_u, cfg.update_proportion)
+                loss = (
+                    ppo.actor_loss
+                    + 0.5 * (ppo.critic_ext_loss + ppo.critic_int_loss)
+                    - cfg.entropy_coef * ppo.entropy
+                    + rl
+                )
+                return loss, None
+
+            grads = jax.grad(loss_fn)(params)
+            updates, opt_state = agent.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state
+
+        agent._naive_step = jax.jit(mb_step)
+
+    params, opt_state = state.params, state.opt_state
+    rng_np = np.random.default_rng(1234)
+    for _ in range(cfg.epoch):
+        perm = rng_np.permutation(num_samples)
+        for j in range(cfg.mini_batch):
+            idx = perm[j * batch_size : (j + 1) * batch_size]
+            # host fancy-index + fresh H2D per minibatch (torch-style)
+            batch = {
+                "s": jnp.asarray(s_all[idx]),
+                "y": jnp.asarray(y_all[idx]),
+                "old_policy": jnp.asarray(pol_all[idx]),
+                "adv": jnp.asarray(total_adv[idx]),
+                "ext_target": jnp.asarray(ext_t[idx]),
+                "int_target": jnp.asarray(int_t[idx]),
+                "rnd_in": jnp.asarray(rnd_in[idx]),
+            }
+            rng, k = jax.random.split(rng)
+            params, opt_state = agent._naive_step(params, opt_state, batch, k)
+    jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+    return state._replace(
+        params=params,
+        opt_state=opt_state,
+        obs_rms=obs_rms,
+        reward_rms=reward_rms,
+        reward_filter=new_filter,
+        global_update=state.global_update + 1,
+    )
+
+
+def main() -> None:
+    fps_opt = run_pipeline(flagship_cfg(), naive=False)
+    print(f"# optimized: {fps_opt:.1f} frames/s", file=sys.stderr)
+
+    if os.environ.get("BENCH_SKIP_NAIVE") == "1":
+        fps_naive = float(os.environ.get("BENCH_NAIVE_FPS", "0")) or None
+    else:
+        naive_cfg = flagship_cfg(
+            compute_dtype="float32", use_pallas_attention=False
+        )
+        fps_naive = run_pipeline(naive_cfg, naive=True)
+        print(f"# naive(reference-style): {fps_naive:.1f} frames/s", file=sys.stderr)
+
+    vs = (fps_opt / fps_naive) if fps_naive else None
+    print(
+        json.dumps(
+            {
+                "metric": "env_frames_per_sec_per_chip (rollout+update, Montezuma-scale RND-ViT)",
+                "value": round(fps_opt, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(vs, 3) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -47,20 +47,26 @@ class SyntheticAtariEnv:
         self.action_space_n = 5
         self.rng = np.random.default_rng(seed)
         self.seed = seed
-        # position-dependent base patterns, fixed per seed
+        # position-dependent frames, fixed per seed, pre-rendered once so
+        # stepping costs O(memcpy) and benchmarks measure the framework
         pat_rng = np.random.default_rng(seed * 7919 + 13)
-        self._phase = pat_rng.uniform(0, 2 * np.pi, size=(grid, grid, 2))
+        phase = pat_rng.uniform(0, 2 * np.pi, size=(grid, grid, 2))
+        yy = np.linspace(0, 4 * np.pi, self.h)[:, None]
+        xx = np.linspace(0, 4 * np.pi, self.w)[None, :]
+        cells = 127.5 * (
+            1
+            + np.sin(yy[None, None] + phase[..., 0:1, None])
+            * np.cos(xx[None, None] + phase[..., 1:2, None])
+        )
+        idx = np.arange(grid * grid).reshape(grid, grid)
+        cells += 40.0 * (idx[..., None, None] / (grid * grid))
+        self._frames_cache = np.clip(cells, 0, 255).astype(np.uint8)
         self.reset()
 
     # -- rendering ---------------------------------------------------------
     def _frame(self) -> np.ndarray:
         gy, gx = self.pos
-        py, px = self._phase[gy, gx]
-        yy = np.linspace(0, 4 * np.pi, self.h)[:, None]
-        xx = np.linspace(0, 4 * np.pi, self.w)[None, :]
-        img = 127.5 * (1 + np.sin(yy + py) * np.cos(xx + px))
-        img += 40.0 * ((gy * self.grid + gx) / (self.grid * self.grid))
-        return np.clip(img, 0, 255).astype(np.uint8)
+        return self._frames_cache[gy, gx]
 
     def render(self) -> np.ndarray:
         f = self._frame()

@@ -502,6 +502,9 @@ class RNDAgent:
         )
         metrics["data/ext_reward_per_rollout_mean"] = jnp.mean(total_reward)
         metrics["data/ext_reward_per_rollout_sum"] = jnp.sum(total_reward)
+        if self.axis_name is not None:
+            # replicate metrics across the mesh (per-device aux means differ)
+            metrics = jax.lax.pmean(metrics, self.axis_name)
 
         new_state = AgentState(
             params=params,

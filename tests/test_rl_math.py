@@ -109,13 +109,12 @@ def test_rms_matches_oracle(shape, xshape):
     for _ in range(5):
         x = rng.normal(loc=2.0, scale=3.0, size=xshape)
         state = rms_update(state, x)
-        if len(shape) and shape[0] == 1 and len(xshape) == len(shape) + 1:
+        if len(xshape) == len(shape):  # keepdims case ([B, D] -> [1, D])
             bm = x.mean(axis=0, keepdims=True)
             bv = x.var(axis=0, keepdims=True)
-        else:
-            axes = tuple(range(len(xshape) - len(shape)))
-            bm, bv = x.mean(axis=axes), x.var(axis=axes)
-        oracle.update_from_moments(bm, bv, np.prod([xshape[a] for a in range(len(xshape) - len(shape))]) if len(xshape) > len(shape) else xshape[0])
+        else:  # one extra batch axis ([B, *shape] -> [*shape])
+            bm, bv = x.mean(axis=0), x.var(axis=0)
+        oracle.update_from_moments(bm, bv, xshape[0])
     np.testing.assert_allclose(np.asarray(state.mean), oracle.mean, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(state.var), oracle.var, rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(float(state.count), oracle.count, rtol=1e-5)
