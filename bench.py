@@ -71,7 +71,13 @@ def run_pipeline(cfg: Config, naive: bool) -> float:
     rng = jax.random.PRNGKey(0)
     rng, k = jax.random.split(rng)
     state = agent.init_state(k)
-    collector = RolloutCollector(cfg, agent, env)
+    if naive:
+        # the reference ships full stacked frames per step (envs.py:153)
+        collector = RolloutCollector(cfg, agent, env)
+    else:
+        from eavit_tpu.rl.device_rollout import DeviceRolloutCollector
+
+        collector = DeviceRolloutCollector(cfg, agent, env)
     states = env.reset()
     # seed obs_rms so normalization is realistic
     state = agent.update_obs_rms(

@@ -1,0 +1,240 @@
+"""Device-resident rollout: the frame stack and every rollout buffer live in
+HBM; the host ships only each step's NEW preprocessed frame.
+
+Why: the act loop is host→device bandwidth-bound. Shipping the full 4-frame
+stack per step (like handing the reference's pipe payloads to the chip)
+moves ~4x more bytes than the environment actually produces — consecutive
+stacks share 3 of 4 frames. Here the device maintains the stack itself
+(`shift+append`, or `broadcast` on env reset — mirroring FrameStackWrapper,
+reference envs.py:148-169) and appends states/values/log-probs straight into
+donated HBM buffers, so the later PPO update reads rollout data with ZERO
+host transfers.
+
+Per step on the wire: [N, H, W] uint8 frames + [N] rewards + [N] done flags
+up; [N] actions down. Nothing else, ever.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eavit_tpu.config import Config, TrainMethod
+from eavit_tpu.models.policy import ActionSpaceType
+from eavit_tpu.rl.agent import RNDAgent, Rollout
+from eavit_tpu.rl.ppo import sample_categorical, sample_normal
+from eavit_tpu.rl.rollout import EpisodeStats
+
+
+class DeviceBuffers(NamedTuple):
+    base_key: jax.Array  # rollout PRNG key
+    stack: jnp.ndarray  # [N, C, H, W] u8 — current frame stack
+    states: jnp.ndarray  # [T, N, C, H, W] u8
+    actions: jnp.ndarray  # [T, N] i32 | [T, N, A] f32
+    rewards: jnp.ndarray  # [T, N] f32
+    dones: jnp.ndarray  # [T, N] bool
+    next_obs: jnp.ndarray  # [T, N, 1|C, H, W] u8
+    value_ext: jnp.ndarray  # [T+1, N] f32
+    value_int: jnp.ndarray  # [T+1, N] f32
+    policy: jnp.ndarray  # [T, N, A] | [T, N, 1] f32
+
+
+class DeviceRolloutCollector:
+    """Drop-in alternative to RolloutCollector with device-resident state."""
+
+    def __init__(self, cfg: Config, agent: RNDAgent, env: Any):
+        self.cfg = cfg
+        self.agent = agent
+        self.env = env
+        self.stats = EpisodeStats()
+        self._pixel_rnd = cfg.train_method == TrainMethod.ORIGINAL_RND
+        self._discrete = agent.action_space == ActionSpaceType.DISCRETE
+        self._buf: Optional[DeviceBuffers] = None
+
+        self._step = jax.jit(
+            self._step_impl,
+            static_argnames=("first", "last"),
+            donate_argnums=(1,),
+        )
+        self._reseed = jax.jit(self._reseed_impl, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def init_buffers(self, initial_states: np.ndarray, rng: jax.Array) -> None:
+        cfg = self.cfg
+        T = cfg.num_step
+        N, C, H, W = initial_states.shape
+        A = self.agent.output_size
+        nob_c = 1 if self._pixel_rnd else C
+        if self._discrete:
+            actions = jnp.zeros((T, N), jnp.int32)
+            policy = jnp.zeros((T, N, A), jnp.float32)
+        else:
+            actions = jnp.zeros((T, N, A), jnp.float32)
+            policy = jnp.zeros((T, N, 1), jnp.float32)
+        self._buf = DeviceBuffers(
+            base_key=rng,
+            stack=jnp.asarray(initial_states),
+            states=jnp.zeros((T, N, C, H, W), jnp.uint8),
+            actions=actions,
+            rewards=jnp.zeros((T, N), jnp.float32),
+            dones=jnp.zeros((T, N), jnp.bool_),
+            next_obs=jnp.zeros((T, N, nob_c, H, W), jnp.uint8),
+            value_ext=jnp.zeros((T + 1, N), jnp.float32),
+            value_int=jnp.zeros((T + 1, N), jnp.float32),
+            policy=policy,
+        )
+
+    def _reseed_impl(self, buf: DeviceBuffers, rng: jax.Array) -> DeviceBuffers:
+        return buf._replace(base_key=rng)
+
+    # ------------------------------------------------------------------
+    def _step_impl(
+        self,
+        params: Any,
+        buf: DeviceBuffers,
+        frame: jnp.ndarray,  # [N, H, W] u8 (newest frame; garbage when first)
+        reward: jnp.ndarray,  # [N] f32 (outcome of step t-1)
+        done: jnp.ndarray,  # [N] bool (terminal flag of step t-1)
+        reset: jnp.ndarray,  # [N] bool (done | truncated of step t-1)
+        t: jnp.ndarray,  # i32 scalar
+        first: bool,
+        last: bool,
+    ):
+        C = buf.stack.shape[1]
+        if not first:
+            # fold in the outcome of step t-1 and advance the frame stack
+            tm1 = t - 1
+            new_stack = jnp.where(
+                reset[:, None, None, None],
+                jnp.repeat(frame[:, None], C, axis=1),  # FrameStack reset fill
+                jnp.concatenate([buf.stack[:, 1:], frame[:, None]], axis=1),
+            )
+            next_obs = new_stack[:, -1:] if self._pixel_rnd else new_stack
+            buf = buf._replace(
+                stack=new_stack,
+                rewards=jax.lax.dynamic_update_index_in_dim(
+                    buf.rewards, reward, tm1, 0
+                ),
+                dones=jax.lax.dynamic_update_index_in_dim(buf.dones, done, tm1, 0),
+                next_obs=jax.lax.dynamic_update_index_in_dim(
+                    buf.next_obs, next_obs, tm1, 0
+                ),
+            )
+
+        # act on the current stack (also the bootstrap pass when last)
+        key = jax.random.fold_in(buf.base_key, t)
+        k_sample, k_drop, k_noise = jax.random.split(key, 3)
+        obs = buf.stack.astype(jnp.float32) / 255.0
+        out = self.agent.network.apply(
+            {"params": params["policy"]},
+            obs,
+            False,
+            rngs={"dropout": k_drop, "noise": k_noise},
+        )
+        buf = buf._replace(
+            value_ext=jax.lax.dynamic_update_index_in_dim(
+                buf.value_ext, out.value_ext[:, 0], t, 0
+            ),
+            value_int=jax.lax.dynamic_update_index_in_dim(
+                buf.value_int, out.value_int[:, 0], t, 0
+            ),
+        )
+        if last:
+            return buf, buf.actions[0]  # dummy actions, unused
+
+        if self._discrete:
+            action = sample_categorical(k_sample, out.policy)
+            pol = out.policy
+        else:
+            action, logp = sample_normal(k_sample, out.policy, out.std)
+            pol = logp[:, None]
+        buf = buf._replace(
+            states=jax.lax.dynamic_update_index_in_dim(buf.states, buf.stack, t, 0),
+            actions=jax.lax.dynamic_update_index_in_dim(buf.actions, action, t, 0),
+            policy=jax.lax.dynamic_update_index_in_dim(buf.policy, pol, t, 0),
+        )
+        return buf, action
+
+    # ------------------------------------------------------------------
+    def collect(
+        self, params: Any, states_u8: np.ndarray, rng: jax.Array
+    ) -> Tuple[Rollout, np.ndarray]:
+        """One n-step rollout. ``states_u8`` is only used to (re)initialize
+        the device stack on the first call; afterwards the device mirror is
+        authoritative and stays in lock-step with the host pool."""
+        cfg = self.cfg
+        T = cfg.num_step
+        N = states_u8.shape[0]
+        if self._buf is None:
+            self.init_buffers(states_u8, rng)
+        else:
+            self._buf = self._reseed(self._buf, rng)
+
+        zero_f = np.zeros((N, states_u8.shape[2], states_u8.shape[3]), np.uint8)
+        zero_r = np.zeros(N, np.float32)
+        zero_b = np.zeros(N, np.bool_)
+
+        frame, reward, done, reset = zero_f, zero_r, zero_b, zero_b
+        for t in range(T):
+            self._buf, action_dev = self._step(
+                params,
+                self._buf,
+                jnp.asarray(frame),
+                jnp.asarray(reward),
+                jnp.asarray(done),
+                jnp.asarray(reset),
+                jnp.asarray(t, jnp.int32),
+                first=(t == 0),
+                last=False,
+            )
+            actions = np.asarray(action_dev)
+            states_u8, rewards, dones, truns, infos = self.env.step(actions)
+            frame = states_u8[:, -1]
+            reward, done, reset = (
+                rewards.astype(np.float32),
+                dones,
+                dones | truns,
+            )
+            for info in infos:
+                self.stats.add(info)
+
+        # final call: fold last outcome + bootstrap value (train.py:701-704)
+        self._buf, _ = self._step(
+            params,
+            self._buf,
+            jnp.asarray(frame),
+            jnp.asarray(reward),
+            jnp.asarray(done),
+            jnp.asarray(reset),
+            jnp.asarray(T, jnp.int32),
+            first=False,
+            last=True,
+        )
+
+        b = self._buf
+        rollout = Rollout(
+            states=b.states,
+            actions=b.actions,
+            rewards=b.rewards,
+            dones=b.dones,
+            next_obs=b.next_obs,
+            value_ext=b.value_ext,
+            value_int=b.value_int,
+            policy=b.policy,
+        )
+        return rollout, states_u8
+
+    # reuse the host collector's warm-up implementation
+    def warmup_obs_rms(self, state, states_u8, rng):
+        from eavit_tpu.rl.rollout import RolloutCollector
+
+        return RolloutCollector.warmup_obs_rms(self, state, states_u8, rng)
+
+    def _next_obs_of(self, states: np.ndarray) -> np.ndarray:
+        if self._pixel_rnd:
+            return states[:, -1:, :, :]
+        return states

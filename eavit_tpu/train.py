@@ -1,0 +1,200 @@
+"""Training driver (reference train.py:21-878).
+
+Phases, in reference order: logger + distributed init; env fleet; agent
+build; checkpoint resume; optional SSL pretraining; obs-norm warm-up
+(skipped on resume, train.py:503); then the rollout -> update loop with
+scheduled/best checkpointing, metric logging, and a profile-N-updates-then-
+exit mode. The loop runs forever unless ``total_updates`` is set (the
+reference is killed externally, train.py:580).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eavit_tpu.config import (
+    Config,
+    RepresentationMethod,
+    TrainMethod,
+    config_from_args,
+)
+from eavit_tpu.envs.builders import make_vector_env
+from eavit_tpu.models.policy import ActionSpaceType
+from eavit_tpu.rl.agent import RNDAgent
+from eavit_tpu.rl.device_rollout import DeviceRolloutCollector
+from eavit_tpu.utils.checkpoint import CheckpointManager, load_checkpoint
+from eavit_tpu.utils.logger import Logger
+
+
+def _detect_action_space(env) -> ActionSpaceType:
+    return (
+        ActionSpaceType.DISCRETE
+        if getattr(env, "action_space_n", None)
+        else ActionSpaceType.CONTINUOUS
+    )
+
+
+def build_agent(cfg: Config, output_size: int):
+    """Single-chip agent, or data-parallel over all local devices when more
+    than one is available (replaces torchrun rank fan-out)."""
+    n_dev = len(jax.devices())
+    want = cfg.data_axis_size if cfg.data_axis_size > 0 else n_dev
+    if want > 1 and n_dev >= want:
+        from eavit_tpu.parallel.dp import DataParallelAgent, make_mesh
+
+        return DataParallelAgent(cfg, output_size, make_mesh(want))
+    return RNDAgent(cfg, output_size)
+
+
+def ssl_pretrain(
+    cfg: Config,
+    agent: RNDAgent,
+    state,
+    env,
+    collector,
+    logger: Logger,
+    ckpt: CheckpointManager,
+    rng: jax.Array,
+    num_epochs: int,
+):
+    """SSL pretraining (reference train.py:292-499): random-action rollouts
+    become training epochs; the first rollout is held out for evaluation;
+    best eval loss is checkpointed with the SSL suffix."""
+    from eavit_tpu.rl.ssl_pretrain import make_ssl_pretrainer
+
+    pretrainer = make_ssl_pretrainer(cfg, agent)
+    n = env.num_envs
+    rng_np = np.random.default_rng(cfg.seed)
+
+    def random_rollout(states):
+        frames = []
+        for _ in range(cfg.num_step):
+            actions = rng_np.integers(0, env.action_space_n, size=n)
+            states, _, _, _, _ = env.step(actions)
+            frames.append(states.copy())
+        return np.concatenate(frames), states
+
+    states = env.reset()
+    eval_states, states = random_rollout(states)
+    eval_states = jnp.asarray(eval_states)
+
+    ssl_opt_state = pretrainer.init_opt(state)
+    epoch = 0
+    while num_epochs < 0 or epoch < num_epochs:
+        train_states, states = random_rollout(states)
+        rng, k = jax.random.split(rng)
+        state, ssl_opt_state, train_loss, eval_loss = pretrainer.epoch(
+            state, ssl_opt_state, jnp.asarray(train_states), eval_states, k
+        )
+        train_loss, eval_loss = float(train_loss), float(eval_loss)
+        logger.log_scalars(
+            {
+                f"SSL_pretraining/Representation_loss({cfg.representation_lr_method.value})(training dataset) vs epoch": train_loss,
+                f"SSL_pretraining/Representation_loss({cfg.representation_lr_method.value})(evaluation dataset) vs epoch": eval_loss,
+            }
+        )
+        logger.log(
+            f"SSL_pretraining_epoch: {epoch}, training_representation_loss: "
+            f"{train_loss:.6f}, evaluation_representation_loss: {eval_loss:.6f}"
+        )
+        ckpt.maybe_save(
+            state, epoch + 1, {"phase": "ssl_pretraining", "epoch": epoch},
+            ssl_loss=eval_loss,
+        )
+        epoch += 1
+    return state, states
+
+
+def train(cfg: Config, total_updates: Optional[int] = None,
+          profile_updates: int = 0, log_dir: str = "logs") -> Dict[str, Any]:
+    logger = Logger(cfg.log_name, log_dir=log_dir, use_wandb=cfg.use_wandb,
+                    verbose=cfg.verbose_logging)
+    logger.log(f"devices: {jax.devices()}")
+    logger.log(f"config: {cfg}")
+
+    env = make_vector_env(cfg, rank=0, render=cfg.render)
+    output_size = env.action_space_n or 1
+    if cfg.env_id.startswith("Breakout"):
+        pass  # offset handled by ActionOffsetWrapper in the builder
+
+    agent = build_agent(cfg, output_size)
+    base_agent = agent.agent if hasattr(agent, "agent") else agent
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, k_init = jax.random.split(rng)
+    state = agent.init_state(k_init)
+
+    ckpt = CheckpointManager(cfg.save_model_path, cfg.log_name, cfg.save_ckpt_every)
+    start_update = 0
+    if cfg.load_model and cfg.load_model_path:
+        state, meta = load_checkpoint(cfg.load_model_path, state)
+        start_update = int(meta.get("global_update", int(state.global_update)))
+        logger.log(f"resumed from {cfg.load_model_path} @ update {start_update}")
+
+    collector = DeviceRolloutCollector(cfg, base_agent, env)
+    states = env.reset()
+
+    if cfg.ssl_pretraining and cfg.representation_lr_method != RepresentationMethod.NONE:
+        rng, k = jax.random.split(rng)
+        ssl_epochs = total_updates if total_updates is not None else -1
+        state, states = ssl_pretrain(
+            cfg, base_agent, state, env, collector, logger, ckpt, k, ssl_epochs
+        )
+
+    if not cfg.load_model:
+        rng, k = jax.random.split(rng)
+        logger.log("obs-norm warm-up...")
+        state, states = collector.warmup_obs_rms(state, states, k)
+
+    if profile_updates:
+        logger.start_profiling(profile_updates)
+
+    logger.log("entering training loop")
+    update = start_update
+    last_metrics: Dict[str, Any] = {}
+    while total_updates is None or total_updates < 0 or update < total_updates:
+        rng, k_roll, k_upd = jax.random.split(rng, 3)
+        rollout, states = collector.collect(state.params, states, k_roll)
+        if hasattr(agent, "update"):
+            state, metrics = agent.update(state, rollout, k_upd)
+        update += 1
+
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics.update(collector.stats.summary())
+        logger.log_scalars(metrics, step=update)
+        last_metrics = metrics
+        ret = metrics.get("data/mean_undiscounted_episode_return")
+        logger.log(
+            f"update {update} | global_step {int(state.global_step)} | "
+            f"loss {metrics.get('train/loss', float('nan')):.4f} | "
+            f"return {f'{ret:.2f}' if ret is not None else '-'} | "
+            f"rooms {metrics.get('data/total_number_of_visited_rooms', 0):.0f}"
+        )
+
+        ckpt.maybe_save(
+            state,
+            update,
+            {"global_update": update, "global_step": int(state.global_step),
+             "stats": collector.stats.summary(), "config": cfg},
+            mean_rollout_reward=metrics.get("data/ext_reward_per_rollout_mean"),
+            mean_episode_return=metrics.get(
+                "data/mean_undiscounted_episode_return"
+            ),
+        )
+        if logger.step_profiler():
+            break
+
+    env.close()
+    logger.close()
+    return last_metrics
+
+
+def main(args) -> None:
+    cfg = config_from_args(args)
+    total = cfg.total_updates if cfg.total_updates >= 0 else None
+    train(cfg, total_updates=total, profile_updates=args.profile_updates)

@@ -1,0 +1,95 @@
+"""Device-resident rollout must reproduce the host pool's states exactly:
+the on-device frame-stack mirror (shift/append + reset broadcast) is
+lock-step with FrameStack semantics in the env."""
+
+import jax
+import numpy as np
+
+from eavit_tpu.config import Config, TrainMethod, ViTConfig
+from eavit_tpu.envs.synthetic import SyntheticVectorEnv
+from eavit_tpu.rl.agent import RNDAgent
+from eavit_tpu.rl.device_rollout import DeviceRolloutCollector
+
+
+class RecordingEnv:
+    """Wraps a vector env, recording every state it returns."""
+
+    def __init__(self, env):
+        self.env = env
+        self.recorded_states = []
+        self.num_envs = env.num_envs
+        self.action_space_n = env.action_space_n
+
+    def reset(self):
+        s = self.env.reset()
+        self.recorded_states = [s.copy()]
+        return s
+
+    def step(self, actions):
+        out = self.env.step(actions)
+        self.recorded_states.append(out[0].copy())
+        return out
+
+
+def tiny_cfg():
+    return Config(
+        vit=ViTConfig(
+            dim=32, patch_size=21, depth=1, heads=2, dim_head=16, mlp_dim=64,
+            dropout=0.0, emb_dropout=0.0,
+        ),
+        train_method=TrainMethod.ORIGINAL_RND,
+        num_step=10,
+        num_env_per_process=3,
+        mini_batch=2,
+        epoch=1,
+        compute_dtype="float32",
+        use_pallas_attention=False,
+    )
+
+
+def test_device_stack_matches_host_states():
+    cfg = tiny_cfg()
+    # short episodes force mid-rollout resets, exercising the broadcast path
+    env = RecordingEnv(
+        SyntheticVectorEnv(cfg.num_env_per_process, seed=7, max_episode_steps=4)
+    )
+    agent = RNDAgent(cfg, env.action_space_n)
+    state = agent.init_state(jax.random.PRNGKey(0))
+    collector = DeviceRolloutCollector(cfg, agent, env)
+
+    states = env.reset()
+    rollout, final_states = collector.collect(
+        state.params, states, jax.random.PRNGKey(1)
+    )
+
+    dev_states = np.asarray(rollout.states)  # [T, N, C, H, W]
+    for t in range(cfg.num_step):
+        np.testing.assert_array_equal(
+            dev_states[t],
+            env.recorded_states[t],
+            err_msg=f"device stack diverged from env state at step {t}",
+        )
+    # next_obs[t] is the last frame of the state AFTER action t
+    dev_next = np.asarray(rollout.next_obs)  # [T, N, 1, H, W]
+    for t in range(cfg.num_step):
+        np.testing.assert_array_equal(
+            dev_next[t][:, 0], env.recorded_states[t + 1][:, -1]
+        )
+    # resets occurred (episode cap 4 < num_step 10)
+    assert collector.stats.num_episodes > 0
+
+
+def test_device_rollout_feeds_update():
+    cfg = tiny_cfg()
+    env = SyntheticVectorEnv(cfg.num_env_per_process, seed=3, max_episode_steps=6)
+    agent = RNDAgent(cfg, env.action_space_n)
+    state = agent.init_state(jax.random.PRNGKey(0))
+    collector = DeviceRolloutCollector(cfg, agent, env)
+    states = env.reset()
+    for u in range(2):
+        rollout, states = collector.collect(
+            state.params, states, jax.random.PRNGKey(10 + u)
+        )
+        state, metrics = agent.update(state, rollout, jax.random.PRNGKey(20 + u))
+        assert np.isfinite(float(metrics["train/loss"]))
+    assert int(state.global_update) == 2
