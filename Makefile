@@ -1,0 +1,42 @@
+# Operations recipes (reference Makefile:1-82 parity, TPU-native commands).
+
+CONFIG ?= configs/synthetic_demo.conf
+LOG_NAME ?= eavit
+NUM_ENVS ?= 64
+CPU_ENV = PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+
+.PHONY: train eval test run_tests bench profile start_tensorboard dryrun kill help
+
+train:  ## train with the flagship-style loop (reference: make train)
+	python -m eavit_tpu --train --config_path=$(CONFIG) \
+		--num_env_per_process=$(NUM_ENVS) --log_name=$(LOG_NAME)
+
+train_debug:  ## smoke run (reference --debug_params semantics)
+	python -m eavit_tpu --train --config_path=$(CONFIG) --debug_params \
+		--total_updates=3 --log_name=$(LOG_NAME)_debug
+
+eval:  ## play back a checkpoint (reference: make eval)
+	python -m eavit_tpu --eval --config_path=$(CONFIG) \
+		--load_model_path=$(CKPT) --log_name=$(LOG_NAME)_eval
+
+test run_tests:  ## pytest suite on the 8-device virtual CPU mesh
+	python -m pytest tests/ -x -q
+
+bench:  ## one-line JSON benchmark on the local accelerator
+	python bench.py
+
+profile:  ## trace 3 updates with jax.profiler then exit (reference pytorch_profiling)
+	python -m eavit_tpu --train --config_path=$(CONFIG) --debug_params \
+		--profile_updates=3 --log_name=$(LOG_NAME)_prof
+
+start_tensorboard:  ## serve logs/tb (reference: make start_tensorboard)
+	tensorboard --logdir logs/tb --port 6006
+
+dryrun:  ## multichip sharding dry-run on 8 virtual CPU devices
+	$(CPU_ENV) python __graft_entry__.py 8
+
+kill:  ## stop stray training processes (reference: make kill)
+	pkill -f "python -m eavit_tpu" || true
+
+help:
+	@grep -E '^[a-zA-Z_ ]+:.*?##' $(MAKEFILE_LIST) | sed 's/:.*##/\t/'

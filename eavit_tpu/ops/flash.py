@@ -2,11 +2,10 @@
 
 Workload shape (flagship config): 197-token sequences (196 patches + 1
 exploration/exploitation token), 8 heads of dim 32, batch = 2B stacked token
-streams. The whole softmax(QK^T)V for one (batch, head) fits comfortably in
-VMEM, so the kernel is a single-block fusion per (b, h) grid cell: scores,
-numerically-stable softmax, and the PV matmul never touch HBM — unlike the
-XLA path, which materializes [B, H, N, N] probabilities to HBM between
-fusions at larger batches.
+streams. Each grid cell processes a BLOCK of batch elements with ALL their
+heads as one batched MXU contraction — scores, numerically-stable softmax,
+and the PV matmul stay in VMEM with no [B, H, N, N] HBM materialization.
+The batch block size is chosen so the fp32 score tensor fits a VMEM budget.
 
 Both forward and backward are Pallas kernels wired through `jax.custom_vjp`
 (backward recomputes the probability matrix from the saved logsumexp — the
@@ -14,8 +13,9 @@ standard flash-attention trade of FLOPs for HBM traffic).
 
 Sequence padding: N is padded to a multiple of 128 lanes outside the kernel;
 padded KEY columns are masked to -inf before the softmax (padded QUERY rows
-produce garbage that is sliced away by the caller). Masking uses a
-compile-time iota comparison, so there is no dynamic shape anywhere.
+produce garbage that is sliced away by the caller). Batch is padded to a
+multiple of the batch block. All masks are compile-time iota comparisons —
+no dynamic shapes anywhere.
 
 On non-TPU backends (CPU tests) the kernels run in interpreter mode.
 """
@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
+_SCORE_VMEM_BUDGET = 6 * 1024 * 1024  # fp32 scores per grid cell
 
 
 def _pad_to(x: int, m: int) -> int:
@@ -41,57 +42,68 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _batch_block(bh_heads: int, n_pad: int) -> int:
+    """Batch elements per grid cell, sized to the VMEM score budget."""
+    per_elem = bh_heads * n_pad * n_pad * 4  # fp32 scores for one batch elem
+    return max(1, _SCORE_VMEM_BUDGET // per_elem)
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, n: int):
-    q = q_ref[0].astype(jnp.float32)  # [Np, D]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[...].astype(jnp.float32)  # [BB, H, Np, D]
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
 
+    # batched over (BB, H): s[b,h] = q[b,h] @ k[b,h]^T
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [Np, Np]
+        q, k, (((3,), (3,)), ((0, 1), (0, 1))), preferred_element_type=jnp.float32
+    ) * scale  # [BB, H, Np, Np]
 
     n_pad = s.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
     s = jnp.where(col < n, s, -jnp.inf)
 
-    m = jnp.max(s, axis=-1, keepdims=True)  # [Np, 1]
+    m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p, v, (((3,), (2,)), ((0, 1), (0, 1))), preferred_element_type=jnp.float32
     ) / l
-    o_ref[0] = o.astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l)  # [Np, 1]
+    o_ref[...] = o.astype(o_ref.dtype)
+    lse_ref[...] = m + jnp.log(l)  # [BB, H, Np, 1]
 
 
 def _fwd(q, k, v, scale: float):
-    bh, n, d = q.shape
+    b, h, n, d = q.shape
     n_pad = _pad_to(n, _LANE)
-    pad = [(0, 0), (0, n_pad - n), (0, 0)]
+    bb = _batch_block(h, n_pad)
+    b_pad = _pad_to(b, bb)
+    pad = [(0, b_pad - b), (0, 0), (0, n_pad - n), (0, 0)]
     qp, kp, vp = (jnp.pad(t, pad) for t in (q, k, v))
 
     kernel = functools.partial(_fwd_kernel, scale=scale, n=n)
-    block = pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    block = pl.BlockSpec(
+        (bb, h, n_pad, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    lse_block = pl.BlockSpec(
+        (bb, h, n_pad, 1), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
     o, lse = pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=(b_pad // bb,),
         in_specs=[block, block, block],
-        out_specs=[
-            block,
-            pl.BlockSpec((1, n_pad, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=[block, lse_block],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, h, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b_pad, h, n_pad, 1), jnp.float32),
         ],
         interpret=_interpret(),
     )(qp, kp, vp)
-    return o[:, :n], lse[:, :n, 0]
+    return o[:b, :, :n], lse[:b, :, :n, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -103,67 +115,74 @@ def _bwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
     dq_ref, dk_ref, dv_ref, *, scale: float, n: int,
 ):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]  # [Np, 1]
+    q = q_ref[...].astype(jnp.float32)  # [BB, H, Np, D]
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    o = o_ref[...].astype(jnp.float32)
+    do = do_ref[...].astype(jnp.float32)
+    lse = lse_ref[...]  # [BB, H, Np, 1]
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    n_pad = s.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+        q, k, (((3,), (3,)), ((0, 1), (0, 1))), preferred_element_type=jnp.float32
+    ) * scale  # [BB, H, Np, Np]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     s = jnp.where(col < n, s, -jnp.inf)
-    p = jnp.exp(s - lse)  # rows beyond n have lse=0 -> garbage, masked below
-    row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+    p = jnp.exp(s - lse)
     p = jnp.where((row < n) & (col < n), p, 0.0)
 
+    # dV[b,h] = P[b,h]^T dO[b,h]
     dv = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [Np, D] = P^T dO
+        p, do, (((2,), (2,)), ((0, 1), (0, 1))), preferred_element_type=jnp.float32
+    )
+    # dP[b,h] = dO[b,h] V[b,h]^T
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [Np, Np]
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # rowsum(dP * P) == dO.O
+        do, v, (((3,), (3,)), ((0, 1), (0, 1))), preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)
     ds = p * (dp - delta) * scale
     dq = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds, k, (((3,), (2,)), ((0, 1), (0, 1))), preferred_element_type=jnp.float32
     )
     dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds, q, (((2,), (2,)), ((0, 1), (0, 1))), preferred_element_type=jnp.float32
     )
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
 def _bwd(scale: float, res, g):
     q, k, v, o, lse = res
     do = g
-    bh, n, d = q.shape
+    b, h, n, d = q.shape
     n_pad = _pad_to(n, _LANE)
-    pad = [(0, 0), (0, n_pad - n), (0, 0)]
+    bb = _batch_block(h, n_pad)
+    b_pad = _pad_to(b, bb)
+    pad = [(0, b_pad - b), (0, 0), (0, n_pad - n), (0, 0)]
     qp, kp, vp, op, dop = (jnp.pad(t, pad) for t in (q, k, v, o, do))
-    lsep = jnp.pad(lse, [(0, 0), (0, n_pad - n)])[..., None]  # [BH, Np, 1]
+    lsep = jnp.pad(lse, [(0, b_pad - b), (0, 0), (0, n_pad - n)])[..., None]
 
     kernel = functools.partial(_bwd_kernel, scale=scale, n=n)
-    block = pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    lse_block = pl.BlockSpec((1, n_pad, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    block = pl.BlockSpec(
+        (bb, h, n_pad, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    lse_block = pl.BlockSpec(
+        (bb, h, n_pad, 1), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=(b_pad // bb,),
         in_specs=[block, block, block, block, lse_block, block],
         out_specs=[block, block, block],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, n_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, n_pad, d), v.dtype),
+            jax.ShapeDtypeStruct((b_pad, h, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b_pad, h, n_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b_pad, h, n_pad, d), v.dtype),
         ],
         interpret=_interpret(),
     )(qp, kp, vp, op, lsep, dop)
-    return dq[:, :n], dk[:, :n], dv[:, :n]
+    return dq[:b, :, :n], dk[:b, :, :n], dv[:b, :, :n]
 
 
 # ---------------------------------------------------------------------------
@@ -172,17 +191,17 @@ def _bwd(scale: float, res, g):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash3(q, k, v, scale: float):
+def _flash(q, k, v, scale: float):
     o, _ = _fwd(q, k, v, scale)
     return o
 
 
-def _flash3_fwd(q, k, v, scale: float):
+def _flash_fwd(q, k, v, scale: float):
     o, lse = _fwd(q, k, v, scale)
     return o, (q, k, v, o, lse)
 
 
-_flash3.defvjp(_flash3_fwd, _bwd)
+_flash.defvjp(_flash_fwd, _bwd)
 
 
 def flash_attention(
@@ -194,10 +213,4 @@ def flash_attention(
     """Fused softmax(q k^T * scale) v with flash backward. [B, H, N, D]."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    b, h, n, d = q.shape
-
-    def fold(t):
-        return t.reshape(b * h, n, d)
-
-    out = _flash3(fold(q), fold(k), fold(v), float(scale))
-    return out.reshape(b, h, n, d).astype(v.dtype)
+    return _flash(q, k, v, float(scale)).astype(v.dtype)

@@ -1,0 +1,95 @@
+"""Continuous action space end-to-end (reference agents.py:197-203,
+292-324; model.py:97-101, 226-238): tanh-mu + learnable log_std Normal
+policy, log-prob storage instead of logits."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eavit_tpu.config import Config, TrainMethod, ViTConfig
+from eavit_tpu.models.policy import ActionSpaceType
+from eavit_tpu.rl.agent import RNDAgent
+from eavit_tpu.rl.rollout import RolloutCollector
+
+
+class ContinuousSyntheticEnv:
+    """Vectorized continuous-action env: action in R^2 moves a point; frames
+    encode the position; reward = -|action|."""
+
+    def __init__(self, num_envs, seed=0, stack=4, size=84, max_steps=16):
+        self.num_envs = num_envs
+        self.stack, self.size, self.max_steps = stack, size, max_steps
+        self.action_space_n = None  # continuous
+        self.action_dim = 2
+        self.rng = np.random.default_rng(seed)
+        self.pos = np.zeros((num_envs, 2), np.float32)
+        self.steps = np.zeros(num_envs, np.int32)
+
+    def _frames(self):
+        yy = np.linspace(0, 2 * np.pi, self.size)
+        f = 127.5 * (
+            1
+            + np.sin(yy[None, :, None] + self.pos[:, 0, None, None])
+            * np.cos(yy[None, None, :] + self.pos[:, 1, None, None])
+        )
+        return np.clip(f, 0, 255).astype(np.uint8)
+
+    def reset(self):
+        self.pos[:] = 0
+        self.steps[:] = 0
+        f = self._frames()
+        return np.repeat(f[:, None], self.stack, axis=1)
+
+    def step(self, actions):
+        actions = np.asarray(actions, np.float32)
+        self.pos = self.pos + 0.1 * actions
+        self.steps += 1
+        rewards = -np.linalg.norm(actions, axis=-1).astype(np.float32)
+        truns = self.steps >= self.max_steps
+        dones = np.zeros(self.num_envs, np.bool_)
+        f = self._frames()
+        states = np.repeat(f[:, None], self.stack, axis=1)  # simplified stack
+        infos = [
+            {"episode": {"r": 0.0, "l": int(self.steps[i])}} if truns[i] else {}
+            for i in range(self.num_envs)
+        ]
+        self.steps[truns] = 0
+        return states, rewards, dones, truns, infos
+
+    def close(self):
+        pass
+
+
+def test_continuous_ppo_rnd_e2e():
+    cfg = Config(
+        vit=ViTConfig(
+            dim=32, patch_size=21, depth=1, heads=2, dim_head=16, mlp_dim=64,
+            dropout=0.0, emb_dropout=0.0,
+        ),
+        train_method=TrainMethod.ORIGINAL_RND,
+        num_step=8,
+        num_env_per_process=4,
+        mini_batch=2,
+        epoch=2,
+        compute_dtype="float32",
+        use_pallas_attention=False,
+    )
+    env = ContinuousSyntheticEnv(4, max_steps=12)
+    agent = RNDAgent(cfg, env.action_dim, action_space=ActionSpaceType.CONTINUOUS)
+    state = agent.init_state(jax.random.PRNGKey(0))
+    collector = RolloutCollector(cfg, agent, env)
+    states = env.reset()
+
+    # act returns continuous actions in [-1-ish] range and per-sample logp
+    a, ve, vi, logp = agent.act(state.params, jnp.asarray(states), jax.random.PRNGKey(1))
+    assert np.asarray(a).shape == (4, 2)
+    assert np.asarray(logp).shape == (4, 1)
+
+    rollout, states = collector.collect(state.params, states, jax.random.PRNGKey(2))
+    assert np.asarray(rollout.actions).shape == (8, 4, 2)
+    assert np.asarray(rollout.policy).shape == (8, 4, 1)
+    state, metrics = agent.update(state, rollout, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["train/loss"]))
+    assert np.isfinite(float(metrics["train/entropy"]))
+    # log_std is learnable: present in params
+    assert "log_std" in state.params["policy"]
