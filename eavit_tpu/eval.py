@@ -26,6 +26,9 @@ def evaluate(
     render: bool = False,
     save_intrinsic_trace: Optional[str] = None,
 ) -> Dict[str, Any]:
+    from eavit_tpu.train import setup_jax
+
+    setup_jax(cfg)
     cfg = cfg.replace(num_env_per_process=1)  # single env (eval.py:23)
     logger = Logger(cfg.log_name + "_eval", use_tensorboard=False)
     env = make_vector_env(cfg, rank=0, render=render)

@@ -31,7 +31,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
-_SCORE_VMEM_BUDGET = 6 * 1024 * 1024  # fp32 scores per grid cell
+# fp32 score tensor budget per grid cell; the probability tensor of the same
+# size coexists with it, plus q/k/v/o blocks — keep the pair under ~1/3 of
+# the 16MB VMEM so the compiler has headroom for double-buffering.
+_SCORE_VMEM_BUDGET = 2 * 1024 * 1024
 
 
 def _pad_to(x: int, m: int) -> int:
@@ -54,27 +57,27 @@ def _batch_block(bh_heads: int, n_pad: int) -> int:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, n: int):
-    q = q_ref[...].astype(jnp.float32)  # [BB, H, Np, D]
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
+    bb, h, n_pad, d = q_ref.shape
+    # fold (BB, H) into ONE batch dim (Mosaic matmul supports a single one)
+    q = q_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
+    k = k_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
+    v = v_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
 
-    # batched over (BB, H): s[b,h] = q[b,h] @ k[b,h]^T
     s = jax.lax.dot_general(
-        q, k, (((3,), (3,)), ((0, 1), (0, 1))), preferred_element_type=jnp.float32
-    ) * scale  # [BB, H, Np, Np]
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [BB*H, Np, Np]
 
-    n_pad = s.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     s = jnp.where(col < n, s, -jnp.inf)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v, (((3,), (2,)), ((0, 1), (0, 1))), preferred_element_type=jnp.float32
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) / l
-    o_ref[...] = o.astype(o_ref.dtype)
-    lse_ref[...] = m + jnp.log(l)  # [BB, H, Np, 1]
+    o_ref[...] = o.reshape(bb, h, n_pad, d).astype(o_ref.dtype)
+    lse_ref[...] = (m + jnp.log(l)).reshape(bb, h, n_pad, 1)
 
 
 def _fwd(q, k, v, scale: float):
@@ -115,41 +118,40 @@ def _bwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
     dq_ref, dk_ref, dv_ref, *, scale: float, n: int,
 ):
-    q = q_ref[...].astype(jnp.float32)  # [BB, H, Np, D]
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
-    o = o_ref[...].astype(jnp.float32)
-    do = do_ref[...].astype(jnp.float32)
-    lse = lse_ref[...]  # [BB, H, Np, 1]
+    bb, h, n_pad, d = q_ref.shape
+    q = q_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
+    k = k_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
+    v = v_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
+    o = o_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
+    do = do_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
+    lse = lse_ref[...].reshape(bb * h, n_pad, 1)
 
     s = jax.lax.dot_general(
-        q, k, (((3,), (3,)), ((0, 1), (0, 1))), preferred_element_type=jnp.float32
-    ) * scale  # [BB, H, Np, Np]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [BB*H, Np, Np]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n, s, -jnp.inf)
     p = jnp.exp(s - lse)
     p = jnp.where((row < n) & (col < n), p, 0.0)
 
-    # dV[b,h] = P[b,h]^T dO[b,h]
-    dv = jax.lax.dot_general(
-        p, do, (((2,), (2,)), ((0, 1), (0, 1))), preferred_element_type=jnp.float32
+    dv = jax.lax.dot_general(  # P^T dO
+        p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    # dP[b,h] = dO[b,h] V[b,h]^T
-    dp = jax.lax.dot_general(
-        do, v, (((3,), (3,)), ((0, 1), (0, 1))), preferred_element_type=jnp.float32
+    dp = jax.lax.dot_general(  # dO V^T
+        do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     delta = jnp.sum(do * o, axis=-1, keepdims=True)
     ds = p * (dp - delta) * scale
     dq = jax.lax.dot_general(
-        ds, k, (((3,), (2,)), ((0, 1), (0, 1))), preferred_element_type=jnp.float32
+        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     dk = jax.lax.dot_general(
-        ds, q, (((2,), (2,)), ((0, 1), (0, 1))), preferred_element_type=jnp.float32
+        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    dq_ref[...] = dq.astype(dq_ref.dtype)
-    dk_ref[...] = dk.astype(dk_ref.dtype)
-    dv_ref[...] = dv.astype(dv_ref.dtype)
+    dq_ref[...] = dq.reshape(bb, h, n_pad, d).astype(dq_ref.dtype)
+    dk_ref[...] = dk.reshape(bb, h, n_pad, d).astype(dk_ref.dtype)
+    dv_ref[...] = dv.reshape(bb, h, n_pad, d).astype(dv_ref.dtype)
 
 
 def _bwd(scale: float, res, g):

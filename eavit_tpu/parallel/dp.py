@@ -41,6 +41,18 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
+def get_dist_info():
+    """(world_size, rank, local_world_size, local_rank) — reference
+    dist_utils.py:9-14 read torchrun env vars; here they come from the JAX
+    runtime (process = host in SPMD)."""
+    return (
+        jax.process_count(),
+        jax.process_index(),
+        jax.local_device_count(),
+        jax.process_index(),
+    )
+
+
 def init_distributed() -> None:
     """Multi-host rendezvous (replaces torchrun c10d, reference
     dist_utils.py:61-77). No-op on a single host."""

@@ -110,13 +110,25 @@ def ssl_pretrain(
     return state, states
 
 
+def setup_jax(cfg: Config) -> None:
+    """Apply framework-level jax config (call before the first PRNG use)."""
+    try:
+        jax.config.update("jax_default_prng_impl", cfg.prng_impl)
+    except Exception:  # already-initialized or unknown impl: keep default
+        pass
+
+
 def train(cfg: Config, total_updates: Optional[int] = None,
           profile_updates: int = 0, log_dir: str = "logs") -> Dict[str, Any]:
+    setup_jax(cfg)
     logger = Logger(cfg.log_name, log_dir=log_dir, use_wandb=cfg.use_wandb,
                     verbose=cfg.verbose_logging)
     logger.log(f"devices: {jax.devices()}")
     logger.log(f"config: {cfg}")
 
+    from eavit_tpu.utils.seed import set_seed
+
+    set_seed(cfg.seed)
     env = make_vector_env(cfg, rank=0, render=cfg.render)
     output_size = env.action_space_n or 1
     if cfg.env_id.startswith("Breakout"):

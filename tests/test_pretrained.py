@@ -1,0 +1,77 @@
+"""Pretrained-weight import: a synthetic timm-format checkpoint loads into
+the dual-token ViT and changes its outputs deterministically."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eavit_tpu.config import ViTConfig
+from eavit_tpu.models.pretrained import load_pretrained_timm
+from eavit_tpu.models.vit import DualTokenViT
+
+
+def make_fake_timm_sd(depth, dim, heads, dim_head, mlp_dim, patch, grid, rng):
+    inner = heads * dim_head
+    sd = {
+        "pos_embed": rng.normal(size=(1, grid * grid + 1, dim)).astype(np.float32),
+        "cls_token": rng.normal(size=(1, 1, dim)).astype(np.float32),
+        "patch_embed.proj.weight": rng.normal(size=(dim, 3, patch, patch)).astype(np.float32),
+        "patch_embed.proj.bias": rng.normal(size=(dim,)).astype(np.float32),
+        "norm.weight": rng.normal(size=(dim,)).astype(np.float32),
+        "norm.bias": rng.normal(size=(dim,)).astype(np.float32),
+    }
+    for i in range(depth):
+        p = f"blocks.{i}."
+        sd[p + "norm1.weight"] = rng.normal(size=(dim,)).astype(np.float32)
+        sd[p + "norm1.bias"] = rng.normal(size=(dim,)).astype(np.float32)
+        sd[p + "attn.qkv.weight"] = rng.normal(size=(inner * 3, dim)).astype(np.float32)
+        sd[p + "attn.proj.weight"] = rng.normal(size=(dim, inner)).astype(np.float32)
+        sd[p + "attn.proj.bias"] = rng.normal(size=(dim,)).astype(np.float32)
+        sd[p + "norm2.weight"] = rng.normal(size=(dim,)).astype(np.float32)
+        sd[p + "norm2.bias"] = rng.normal(size=(dim,)).astype(np.float32)
+        sd[p + "mlp.fc1.weight"] = rng.normal(size=(mlp_dim, dim)).astype(np.float32)
+        sd[p + "mlp.fc1.bias"] = rng.normal(size=(mlp_dim,)).astype(np.float32)
+        sd[p + "mlp.fc2.weight"] = rng.normal(size=(dim, mlp_dim)).astype(np.float32)
+        sd[p + "mlp.fc2.bias"] = rng.normal(size=(dim,)).astype(np.float32)
+    return sd
+
+
+def test_load_pretrained_dual_token():
+    cfg = ViTConfig(dim=32, patch_size=12, depth=2, heads=4, dim_head=8,
+                    mlp_dim=64, dropout=0.0, emb_dropout=0.0)
+    vit = DualTokenViT(cfg=cfg, image_size=84, channels=4, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 4, 84, 84)), jnp.float32)
+    params = vit.init(jax.random.PRNGKey(0), x)
+
+    rng = np.random.default_rng(1)
+    # checkpoint trained on a different grid (14x14) and 3 channels:
+    # exercises pos-embed interpolation (84/12=7 grid) + channel adaption
+    sd = make_fake_timm_sd(2, 32, 4, 8, 64, 12, grid=14, rng=rng)
+
+    before = vit.apply(params, x)
+    loaded_feature = load_pretrained_timm(
+        params["params"], sd, channels=4, patch_size=12
+    )
+    after = vit.apply({"params": loaded_feature}, x)
+    # weights actually replaced
+    assert not np.allclose(np.asarray(before[0]), np.asarray(after[0]))
+    # both tokens initialized from the pretrained CLS
+    np.testing.assert_array_equal(
+        np.asarray(loaded_feature["exploration_token"]),
+        np.asarray(loaded_feature["exploitation_token"]),
+    )
+    # qkv actually transposed correctly: kernel shape [dim, inner*3]
+    assert loaded_feature["transformer"]["attn_0"]["to_qkv"]["kernel"].shape == (32, 96)
+    assert np.all(np.isfinite(np.asarray(after[0])))
+
+
+def test_load_pretrained_cls_variant():
+    cfg = ViTConfig(dim=32, patch_size=12, depth=1, heads=4, dim_head=8,
+                    mlp_dim=64, dropout=0.0, emb_dropout=0.0,
+                    use_explorative_attn=False)
+    vit = DualTokenViT(cfg=cfg, image_size=84, channels=4, dtype=jnp.float32)
+    x = jnp.ones((1, 4, 84, 84), jnp.float32)
+    params = vit.init(jax.random.PRNGKey(0), x)
+    sd = make_fake_timm_sd(1, 32, 4, 8, 64, 12, grid=7, rng=np.random.default_rng(2))
+    loaded = load_pretrained_timm(params["params"], sd, channels=4, patch_size=12)
+    np.testing.assert_array_equal(np.asarray(loaded["cls_token"]), sd["cls_token"])
