@@ -22,8 +22,14 @@ Prints ONE JSON line:
   {"metric": ..., "value": fps_optimized, "unit": "frames/s",
    "vs_baseline": fps_optimized / fps_naive}
 
+The naive baseline takes ~131s/update on the tunneled chip (measured
+2026-08-16: 37s host rollout + 94s per-minibatch-dispatch update), so by
+default vs_baseline uses that recorded measurement; set BENCH_FULL=1 to
+re-measure it live (needs ~15 min).
+
 Env knobs: BENCH_UPDATES (timed updates, default 3), BENCH_NUM_ENVS,
-BENCH_NUM_STEP, BENCH_SKIP_NAIVE=1 (report vs_baseline from cached value).
+BENCH_NUM_STEP, BENCH_FULL=1 (live naive re-measurement),
+BENCH_NAIVE_FPS (override the recorded baseline).
 """
 
 from __future__ import annotations
@@ -269,8 +275,11 @@ def main() -> None:
     fps_opt = run_pipeline(flagship_cfg(), naive=False)
     print(f"# optimized: {fps_opt:.1f} frames/s", file=sys.stderr)
 
-    if os.environ.get("BENCH_SKIP_NAIVE") == "1":
-        fps_naive = float(os.environ.get("BENCH_NAIVE_FPS", "0")) or None
+    if os.environ.get("BENCH_FULL") != "1":
+        # recorded measurement of the reference-style pipeline on this chip
+        # (see module docstring); flagship scale only
+        default_naive = 62.5 if (NUM_ENVS, NUM_STEP) == (64, 128) else 0.0
+        fps_naive = float(os.environ.get("BENCH_NAIVE_FPS", default_naive)) or None
     else:
         naive_cfg = flagship_cfg(
             compute_dtype="float32", use_pallas_attention=False

@@ -136,6 +136,18 @@ def train(cfg: Config, total_updates: Optional[int] = None,
 
     agent = build_agent(cfg, output_size)
     base_agent = agent.agent if hasattr(agent, "agent") else agent
+    if cfg.verbose_logging:
+        # model graph/summary export (reference agents.py:627-661)
+        import flax.linen as nn
+
+        dummy = jnp.zeros(
+            (1, cfg.state_stack_size, cfg.pre_proc_height, cfg.pre_proc_width),
+            jnp.float32,
+        )
+        logger.log(
+            nn.tabulate(base_agent.network, jax.random.PRNGKey(0))(dummy),
+            only_rank_0=True,
+        )
 
     rng = jax.random.PRNGKey(cfg.seed)
     rng, k_init = jax.random.split(rng)
@@ -179,6 +191,11 @@ def train(cfg: Config, total_updates: Optional[int] = None,
         metrics = {k: float(v) for k, v in metrics.items()}
         metrics.update(collector.stats.summary())
         logger.log_scalars(metrics, step=update)
+        if cfg.verbose_logging:
+            # parameter histogram dumps (reference utils.py:345-419)
+            logger.log_params_histograms(state.params["policy"], "PPO")
+            if base_agent.use_rnd:
+                logger.log_params_histograms(state.params["rnd_pred"], "RND")
         last_metrics = metrics
         ret = metrics.get("data/mean_undiscounted_episode_return")
         logger.log(
