@@ -94,53 +94,61 @@ class DataParallelAgent:
             return spec
 
         self._state_spec_fn = state_spec
+        # jitted programs are memoized so every call after the first hits
+        # jit's cache (a fresh shard_map closure per call would retrace)
+        self._jitted: Dict[str, Any] = {}
 
         def update(state, rollout, rng):
-            sspec = self._state_spec_fn(state)
-            rspec = Rollout(
-                states=env_sharded,
-                actions=env_sharded,
-                rewards=env_sharded,
-                dones=env_sharded,
-                next_obs=env_sharded,
-                value_ext=env_sharded,
-                value_int=env_sharded,
-                policy=env_sharded,
-            )
-            metrics_spec = rep
-            f = shard_map(
-                self.agent._update_impl,
-                mesh=self.mesh,
-                in_specs=(sspec, rspec, rep),
-                out_specs=(sspec, metrics_spec),
-                check_vma=False,
-            )
-            return jax.jit(f, donate_argnums=(0,))(state, rollout, rng)
+            if "update" not in self._jitted:
+                sspec = self._state_spec_fn(state)
+                rspec = Rollout(
+                    states=env_sharded,
+                    actions=env_sharded,
+                    rewards=env_sharded,
+                    dones=env_sharded,
+                    next_obs=env_sharded,
+                    value_ext=env_sharded,
+                    value_int=env_sharded,
+                    policy=env_sharded,
+                )
+                f = shard_map(
+                    self.agent._update_impl,
+                    mesh=self.mesh,
+                    in_specs=(sspec, rspec, rep),
+                    out_specs=(sspec, rep),
+                    check_vma=False,
+                )
+                self._jitted["update"] = jax.jit(f, donate_argnums=(0,))
+            return self._jitted["update"](state, rollout, rng)
 
         self._dp_update = update
 
         def act(params, obs_u8, rng):
-            f = shard_map(
-                partial(self.agent._act_impl, deterministic=False),
-                mesh=self.mesh,
-                in_specs=(rep, P(AXIS), rep),
-                out_specs=P(AXIS),
-                check_vma=False,
-            )
-            return jax.jit(f)(params, obs_u8, rng)
+            if "act" not in self._jitted:
+                f = shard_map(
+                    partial(self.agent._act_impl, deterministic=False),
+                    mesh=self.mesh,
+                    in_specs=(rep, P(AXIS), rep),
+                    out_specs=P(AXIS),
+                    check_vma=False,
+                )
+                self._jitted["act"] = jax.jit(f)
+            return self._jitted["act"](params, obs_u8, rng)
 
         self._dp_act = act
 
         def obs_rms_update(state, next_obs_u8):
-            sspec = self._state_spec_fn(state)
-            f = shard_map(
-                self.agent._obs_rms_update_impl,
-                mesh=self.mesh,
-                in_specs=(sspec, P(AXIS)),
-                out_specs=sspec,
-                check_vma=False,
-            )
-            return jax.jit(f, donate_argnums=(0,))(state, next_obs_u8)
+            if "obs_rms" not in self._jitted:
+                sspec = self._state_spec_fn(state)
+                f = shard_map(
+                    self.agent._obs_rms_update_impl,
+                    mesh=self.mesh,
+                    in_specs=(sspec, P(AXIS)),
+                    out_specs=sspec,
+                    check_vma=False,
+                )
+                self._jitted["obs_rms"] = jax.jit(f, donate_argnums=(0,))
+            return self._jitted["obs_rms"](state, next_obs_u8)
 
         self._dp_obs_rms = obs_rms_update
 
