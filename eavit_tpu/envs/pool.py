@@ -17,14 +17,33 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 import numpy as np
 
 
+def _space_info(space):
+    """(action_space_n, action_dim, low, high) from a gym space."""
+    n = getattr(space, "n", None)
+    if n is not None:
+        return int(n), None, None, None
+    shape = getattr(space, "shape", None) or (1,)
+    low = np.asarray(getattr(space, "low", -1.0), np.float32)
+    high = np.asarray(getattr(space, "high", 1.0), np.float32)
+    return None, int(np.prod(shape)), low, high
+
+
 class SyncVectorEnv:
     """Minimal synchronous pool over gymnasium-style envs."""
 
     def __init__(self, env_fns: List[Callable[[], Any]]):
         self.envs = [fn() for fn in env_fns]
         self.num_envs = len(self.envs)
-        space = self.envs[0].action_space
-        self.action_space_n = getattr(space, "n", None)
+        (self.action_space_n, self.action_dim,
+         self.action_low, self.action_high) = _space_info(self.envs[0].action_space)
+
+    def sample_random_actions(self, rng: np.random.Generator) -> np.ndarray:
+        """Random actions for warm-up (reference train.py:513-516)."""
+        if self.action_space_n is not None:
+            return rng.integers(0, self.action_space_n, size=self.num_envs)
+        return rng.uniform(
+            0.0, 1.0, size=(self.num_envs, self.action_dim)
+        ).astype(np.float32)
 
     def reset(self) -> np.ndarray:
         return np.stack([e.reset()[0] for e in self.envs])
@@ -71,11 +90,14 @@ class ThreadVectorEnv:
         self._states: Optional[np.ndarray] = None
         self._ready = threading.Barrier(self.num_envs + 1)
         self.action_space_n: Optional[int] = None
+        self.action_dim: Optional[int] = None
+        self.action_low = self.action_high = None
 
         def worker(idx: int, fn: Callable[[], Any]):
             env = fn()
             if idx == 0:
-                self.action_space_n = getattr(env.action_space, "n", None)
+                (self.action_space_n, self.action_dim,
+                 self.action_low, self.action_high) = _space_info(env.action_space)
             s, _ = env.reset()
             self._results[idx] = (s, 0.0, False, False, {})
             self._ready.wait()
@@ -112,6 +134,8 @@ class ThreadVectorEnv:
         truns = np.asarray([r[3] for r in self._results], np.bool_)
         infos = [r[4] for r in self._results]
         return states, rewards, dones, truns, infos
+
+    sample_random_actions = SyncVectorEnv.sample_random_actions
 
     def close(self) -> None:
         for q in self._in:

@@ -146,6 +146,9 @@ class SyntheticVectorEnv:
         ]
         self.action_space_n = self.envs[0].action_space_n
 
+    def sample_random_actions(self, rng: np.random.Generator) -> np.ndarray:
+        return rng.integers(0, self.action_space_n, size=self.num_envs)
+
     def reset(self) -> np.ndarray:
         return np.stack([e.reset()[0] for e in self.envs])
 

@@ -88,11 +88,16 @@ class RolloutCollector:
             return state, states_u8
         n = self.env.num_envs
         rng_np = np.random.default_rng(int(jax.random.randint(rng, (), 0, 2**31 - 1)))
+
+        def random_actions():
+            if hasattr(self.env, "sample_random_actions"):
+                return self.env.sample_random_actions(rng_np)
+            return rng_np.integers(0, self.env.action_space_n, size=n)
+
         for _ in range(cfg.obs_norm_step):
             batch = []
             for _ in range(cfg.num_step):
-                actions = rng_np.integers(0, self.env.action_space_n, size=n)
-                states_u8, _, _, _, _ = self.env.step(actions)
+                states_u8, _, _, _, _ = self.env.step(random_actions())
                 batch.append(self._next_obs_of(states_u8))
             state = self.agent.update_obs_rms(
                 state, jnp.asarray(np.concatenate(batch))

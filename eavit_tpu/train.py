@@ -39,7 +39,8 @@ def _detect_action_space(env) -> ActionSpaceType:
     )
 
 
-def build_agent(cfg: Config, output_size: int):
+def build_agent(cfg: Config, output_size: int,
+                action_space: ActionSpaceType = ActionSpaceType.DISCRETE):
     """Single-chip agent, or data-parallel over all local devices when more
     than one is available (replaces torchrun rank fan-out)."""
     n_dev = len(jax.devices())
@@ -47,8 +48,10 @@ def build_agent(cfg: Config, output_size: int):
     if want > 1 and n_dev >= want:
         from eavit_tpu.parallel.dp import DataParallelAgent, make_mesh
 
-        return DataParallelAgent(cfg, output_size, make_mesh(want))
-    return RNDAgent(cfg, output_size)
+        return DataParallelAgent(
+            cfg, output_size, make_mesh(want), action_space=action_space
+        )
+    return RNDAgent(cfg, output_size, action_space=action_space)
 
 
 def ssl_pretrain(
@@ -130,11 +133,10 @@ def train(cfg: Config, total_updates: Optional[int] = None,
 
     set_seed(cfg.seed)
     env = make_vector_env(cfg, rank=0, render=cfg.render)
-    output_size = env.action_space_n or 1
-    if cfg.env_id.startswith("Breakout"):
-        pass  # offset handled by ActionOffsetWrapper in the builder
+    action_space = _detect_action_space(env)
+    output_size = env.action_space_n or getattr(env, "action_dim", 1) or 1
 
-    agent = build_agent(cfg, output_size)
+    agent = build_agent(cfg, output_size, action_space)
     base_agent = agent.agent if hasattr(agent, "agent") else agent
     if cfg.verbose_logging:
         # model graph/summary export (reference agents.py:627-661)

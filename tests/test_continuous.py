@@ -60,6 +60,41 @@ class ContinuousSyntheticEnv:
         pass
 
 
+def test_continuous_trainer_pendulum(tmp_path):
+    """Full driver on a REAL continuous-action env (Pendulum-v1 via the
+    classic-control rgb-array stack): warm-up + 1 update."""
+    import pytest
+
+    pytest.importorskip("gymnasium")
+    from eavit_tpu.config import EnvType
+    from eavit_tpu.train import train
+
+    cfg = Config(
+        vit=ViTConfig(
+            dim=32, patch_size=21, depth=1, heads=2, dim_head=16, mlp_dim=64,
+            dropout=0.0, emb_dropout=0.0,
+        ),
+        train_method=TrainMethod.ORIGINAL_RND,
+        env_type=EnvType.CLASSIC_CONTROL,
+        env_id="Pendulum-v1",
+        sticky_action=False,
+        num_step=8,
+        num_env_per_process=2,
+        mini_batch=2,
+        epoch=1,
+        obs_norm_step=1,
+        max_step_per_episode=12,
+        compute_dtype="float32",
+        use_pallas_attention=False,
+        async_env_pool=False,
+        save_model_path=str(tmp_path / "ckpt"),
+        save_ckpt_every=1,
+        data_axis_size=1,
+    )
+    metrics = train(cfg, total_updates=1, log_dir=str(tmp_path / "logs"))
+    assert np.isfinite(metrics["train/loss"])
+
+
 def test_continuous_ppo_rnd_e2e():
     cfg = Config(
         vit=ViTConfig(
