@@ -173,7 +173,11 @@ class DataParallelAgent:
             return state
         return self._dp_obs_rms(state, jnp.asarray(next_obs_u8))
 
-    # pass-throughs used by RolloutCollector
+    # pass-throughs used by the rollout collectors
+    @property
+    def network(self):
+        return self.agent.network
+
     @property
     def use_rnd(self):
         return self.agent.use_rnd

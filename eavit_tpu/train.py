@@ -162,7 +162,9 @@ def train(cfg: Config, total_updates: Optional[int] = None,
         start_update = int(meta.get("global_update", int(state.global_update)))
         logger.log(f"resumed from {cfg.load_model_path} @ update {start_update}")
 
-    collector = DeviceRolloutCollector(cfg, base_agent, env)
+    # collector acts with the (possibly DP-wrapped) agent: its
+    # update_obs_rms/use_rnd go through the mesh-aware wrapper
+    collector = DeviceRolloutCollector(cfg, agent, env)
     states = env.reset()
 
     if cfg.ssl_pretraining and cfg.representation_lr_method != RepresentationMethod.NONE:
