@@ -131,6 +131,7 @@ class SyntheticVectorEnv:
         width: int = 84,
         max_episode_steps: int = 128,
         sticky_action: bool = False,
+        grid: int = 8,
     ):
         self.num_envs = num_envs
         self.envs = [
@@ -139,6 +140,7 @@ class SyntheticVectorEnv:
                 stack=stack,
                 height=height,
                 width=width,
+                grid=grid,
                 max_episode_steps=max_episode_steps,
                 sticky_action=sticky_action,
             )
