@@ -193,6 +193,7 @@ class Config:
     data_axis_size: int = 1  # data-parallel mesh size (devices)
     async_env_pool: bool = True  # overlap env stepping with device compute
     total_updates: int = -1  # -1 = run forever (reference train.py:580)
+    synthetic_grid: int = 8  # room-grid side length of the synthetic env
 
     # ------------------------------------------------------------------
     @property
@@ -327,6 +328,7 @@ _KEYMAP: Dict[str, Tuple[Tuple[str, ...], Any]] = {
     "AsyncEnvPool": (("async_env_pool",), _as_bool),
     "TotalUpdates": (("total_updates",), int),
     "Seed": (("seed",), int),
+    "SyntheticGrid": (("synthetic_grid",), int),
 }
 
 
@@ -395,7 +397,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
         prog="eavit_tpu",
         description="TPU-native Explorative-Attention ViT RND/PPO framework",
     )
-    p.add_argument("--seed", type=int, default=42)
+    # default None so a config file's Seed key is only overridden when the
+    # flag is passed explicitly (the effective default stays 42)
+    p.add_argument("--seed", type=int, default=None)
     p.add_argument("--config_path", type=str, default=None)
     p.add_argument("--log_name", type=str, default="eavit")
     p.add_argument("--train", action="store_true", default=False)
@@ -427,12 +431,13 @@ def get_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
 
 def config_from_args(args: argparse.Namespace) -> Config:
     overrides: Dict[str, Any] = {
-        "seed": args.seed,
         "log_name": args.log_name,
         "num_env_per_process": args.num_env_per_process,
         "save_model_path": args.save_model_path,
         "use_wandb": args.use_wandb,
     }
+    if args.seed is not None:
+        overrides["seed"] = args.seed
     if args.load_model_path:
         overrides["load_model_path"] = args.load_model_path
         overrides["load_model"] = True

@@ -111,6 +111,7 @@ def make_vector_env(cfg: Config, rank: int = 0, render: bool = False):
             width=cfg.pre_proc_width,
             max_episode_steps=cfg.max_step_per_episode,
             sticky_action=cfg.sticky_action,
+            grid=cfg.synthetic_grid,
         )
 
     maker = {

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, List, Optional
 
 import numpy as np
 
@@ -38,11 +38,18 @@ class SyncVectorEnv:
          self.action_low, self.action_high) = _space_info(self.envs[0].action_space)
 
     def sample_random_actions(self, rng: np.random.Generator) -> np.ndarray:
-        """Random actions for warm-up (reference train.py:513-516)."""
+        """Random actions for warm-up. Continuous spaces sample across the
+        Box bounds (divergence: the reference samples U[0,1) regardless of
+        bounds, train.py:515 — biased coverage for envs like Pendulum's
+        [-2, 2] torque; we sample the full range)."""
         if self.action_space_n is not None:
             return rng.integers(0, self.action_space_n, size=self.num_envs)
+        low = np.broadcast_to(self.action_low, (self.action_dim,))
+        high = np.broadcast_to(self.action_high, (self.action_dim,))
+        low = np.where(np.isfinite(low), low, -1.0)
+        high = np.where(np.isfinite(high), high, 1.0)
         return rng.uniform(
-            0.0, 1.0, size=(self.num_envs, self.action_dim)
+            low, high, size=(self.num_envs, self.action_dim)
         ).astype(np.float32)
 
     def reset(self) -> np.ndarray:
@@ -73,54 +80,85 @@ class SyncVectorEnv:
                 e.close()
 
 
+_RESET = object()
+
+
 class ThreadVectorEnv:
     """Persistent worker threads, one env each; all envs step concurrently.
 
     The host-side analogue of the reference's env-worker processes without
-    pickling frames over pipes — workers write straight into shared output
-    arrays.
+    pickling frames over pipes. Worker exceptions (env construction or
+    stepping) are captured and re-raised in the caller — never a silent
+    hang.
     """
 
     def __init__(self, env_fns: List[Callable[[], Any]]):
         self.num_envs = len(env_fns)
         self._in: List[queue.Queue] = [queue.Queue(1) for _ in env_fns]
-        self._done = queue.Queue()
-        self._threads = []
+        self._done: queue.Queue = queue.Queue()
+        self._threads: List[threading.Thread] = []
         self._results: List[Any] = [None] * self.num_envs
-        self._states: Optional[np.ndarray] = None
+        self._errors: List[Optional[BaseException]] = [None] * self.num_envs
         self._ready = threading.Barrier(self.num_envs + 1)
         self.action_space_n: Optional[int] = None
         self.action_dim: Optional[int] = None
         self.action_low = self.action_high = None
 
         def worker(idx: int, fn: Callable[[], Any]):
-            env = fn()
-            if idx == 0:
-                (self.action_space_n, self.action_dim,
-                 self.action_low, self.action_high) = _space_info(env.action_space)
-            s, _ = env.reset()
-            self._results[idx] = (s, 0.0, False, False, {})
-            self._ready.wait()
+            env = None
+            try:
+                env = fn()
+                if idx == 0:
+                    (self.action_space_n, self.action_dim,
+                     self.action_low, self.action_high) = _space_info(env.action_space)
+                s, _ = env.reset()
+                self._results[idx] = (s, 0.0, False, False, {})
+            except BaseException as e:  # noqa: BLE001 - re-raised in caller
+                self._errors[idx] = e
+            finally:
+                self._ready.wait()
+            if self._errors[idx] is not None:
+                return
             while True:
-                action = self._in[idx].get()
-                if action is None:
+                msg = self._in[idx].get()
+                if msg is None:
                     if hasattr(env, "close"):
                         env.close()
                     return
-                s, r, d, t, info = env.step(action)
-                if d or t:
-                    s, _ = env.reset()
-                self._results[idx] = (s, r, d, t, info)
+                try:
+                    if msg is _RESET:
+                        s, _ = env.reset()
+                        self._results[idx] = (s, 0.0, False, False, {})
+                    else:
+                        s, r, d, t, info = env.step(msg)
+                        if d or t:
+                            s, _ = env.reset()
+                        self._results[idx] = (s, r, d, t, info)
+                except BaseException as e:  # noqa: BLE001
+                    self._errors[idx] = e
                 self._done.put(idx)
+                if self._errors[idx] is not None:
+                    return
 
         for i, fn in enumerate(env_fns):
             th = threading.Thread(target=worker, args=(i, fn), daemon=True)
             th.start()
             self._threads.append(th)
         self._ready.wait()
+        self._raise_worker_errors()
+
+    def _raise_worker_errors(self) -> None:
+        for e in self._errors:
+            if e is not None:
+                raise RuntimeError("env worker failed") from e
 
     def reset(self) -> np.ndarray:
-        # workers reset at startup; subsequent resets are automatic
+        """Reset every env (matching SyncVectorEnv.reset semantics)."""
+        for q in self._in:
+            q.put(_RESET)
+        for _ in range(self.num_envs):
+            self._done.get()
+        self._raise_worker_errors()
         return np.stack([r[0] for r in self._results])
 
     def step(self, actions: np.ndarray):
@@ -128,6 +166,7 @@ class ThreadVectorEnv:
             q.put(a)
         for _ in range(self.num_envs):
             self._done.get()
+        self._raise_worker_errors()
         states = np.stack([r[0] for r in self._results])
         rewards = np.asarray([r[1] for r in self._results], np.float32)
         dones = np.asarray([r[2] for r in self._results], np.bool_)

@@ -32,7 +32,11 @@ def evaluate(
     cfg = cfg.replace(num_env_per_process=1)  # single env (eval.py:23)
     logger = Logger(cfg.log_name + "_eval", use_tensorboard=False)
     env = make_vector_env(cfg, rank=0, render=render)
-    agent = RNDAgent(cfg, env.action_space_n or 1)
+    from eavit_tpu.train import _detect_action_space
+
+    action_space = _detect_action_space(env)
+    output_size = env.action_space_n or getattr(env, "action_dim", 1) or 1
+    agent = RNDAgent(cfg, output_size, action_space=action_space)
 
     rng = jax.random.PRNGKey(cfg.seed)
     rng, k = jax.random.split(rng)

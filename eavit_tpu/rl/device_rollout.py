@@ -55,14 +55,78 @@ class DeviceRolloutCollector:
         self._discrete = agent.action_space == ActionSpaceType.DISCRETE
         self._buf: Optional[DeviceBuffers] = None
 
-        self._step = jax.jit(
-            self._step_impl,
-            static_argnames=("first", "last"),
-            donate_argnums=(1,),
-        )
-        self._reseed = jax.jit(self._reseed_impl, donate_argnums=(0,))
+        # a DataParallelAgent carries a mesh: shard the act/step program over
+        # the env axis so rollouts use every chip, not just device 0
+        self.mesh = getattr(agent, "mesh", None)
+        if self.mesh is None:
+            self._step = jax.jit(
+                self._step_impl,
+                static_argnames=("first", "last"),
+                donate_argnums=(1,),
+            )
+            self._reseed = jax.jit(self._reseed_impl, donate_argnums=(0,))
+        else:
+            self._build_sharded_step()
 
     # ------------------------------------------------------------------
+    def _buffer_specs(self):
+        """PartitionSpecs for DeviceBuffers: env axis sharded over the mesh."""
+        from jax.sharding import PartitionSpec as P
+
+        env0 = P("data")  # [N, ...]
+        env1 = P(None, "data")  # [T, N, ...]
+        return DeviceBuffers(
+            base_key=P(),
+            stack=env0,
+            states=env1,
+            actions=env1,
+            rewards=env1,
+            dones=env1,
+            next_obs=env1,
+            value_ext=env1,
+            value_int=env1,
+            policy=env1,
+        )
+
+    def _build_sharded_step(self) -> None:
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+
+        buf_spec = self._buffer_specs()
+        env0, rep = P("data"), P()
+
+        def make(first: bool, last: bool):
+            f = functools.partial(self._step_impl, first=first, last=last)
+            sm = jax.shard_map(
+                f,
+                mesh=self.mesh,
+                in_specs=(rep, buf_spec, env0, env0, env0, env0, rep),
+                out_specs=(buf_spec, env0),
+                check_vma=False,
+            )
+            return jax.jit(sm, donate_argnums=(1,))
+
+        variants = {
+            (f_, l_): make(f_, l_) for f_ in (True, False) for l_ in (True, False)
+        }
+
+        def step(params, buf, frame, reward, done, reset, t, first, last):
+            return variants[(first, last)](
+                params, buf, frame, reward, done, reset, t
+            )
+
+        self._step = step
+
+        sm_reseed = jax.shard_map(
+            self._reseed_impl,
+            mesh=self.mesh,
+            in_specs=(buf_spec, rep),
+            out_specs=buf_spec,
+            check_vma=False,
+        )
+        self._reseed = jax.jit(sm_reseed, donate_argnums=(0,))
+
     def init_buffers(self, initial_states: np.ndarray, rng: jax.Array) -> None:
         cfg = self.cfg
         T = cfg.num_step
@@ -75,7 +139,7 @@ class DeviceRolloutCollector:
         else:
             actions = jnp.zeros((T, N, A), jnp.float32)
             policy = jnp.zeros((T, N, 1), jnp.float32)
-        self._buf = DeviceBuffers(
+        buf = DeviceBuffers(
             base_key=rng,
             stack=jnp.asarray(initial_states),
             states=jnp.zeros((T, N, C, H, W), jnp.uint8),
@@ -87,6 +151,14 @@ class DeviceRolloutCollector:
             value_int=jnp.zeros((T + 1, N), jnp.float32),
             policy=policy,
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            shardings = jax.tree_util.tree_map(
+                lambda spec: NamedSharding(self.mesh, spec), self._buffer_specs()
+            )
+            buf = jax.device_put(buf, shardings)
+        self._buf = buf
 
     def _reseed_impl(self, buf: DeviceBuffers, rng: jax.Array) -> DeviceBuffers:
         return buf._replace(base_key=rng)
@@ -127,6 +199,9 @@ class DeviceRolloutCollector:
 
         # act on the current stack (also the bootstrap pass when last)
         key = jax.random.fold_in(buf.base_key, t)
+        if self.mesh is not None:
+            # decorrelate sampling noise across env shards
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
         k_sample, k_drop, k_noise = jax.random.split(key, 3)
         obs = buf.stack.astype(jnp.float32) / 255.0
         out = self.agent.network.apply(

@@ -77,7 +77,10 @@ def ssl_pretrain(
     def random_rollout(states):
         frames = []
         for _ in range(cfg.num_step):
-            actions = rng_np.integers(0, env.action_space_n, size=n)
+            if hasattr(env, "sample_random_actions"):
+                actions = env.sample_random_actions(rng_np)
+            else:
+                actions = rng_np.integers(0, env.action_space_n, size=n)
             states, _, _, _, _ = env.step(actions)
             frames.append(states.copy())
         return np.concatenate(frames), states
@@ -188,8 +191,7 @@ def train(cfg: Config, total_updates: Optional[int] = None,
     while total_updates is None or total_updates < 0 or update < total_updates:
         rng, k_roll, k_upd = jax.random.split(rng, 3)
         rollout, states = collector.collect(state.params, states, k_roll)
-        if hasattr(agent, "update"):
-            state, metrics = agent.update(state, rollout, k_upd)
+        state, metrics = agent.update(state, rollout, k_upd)
         update += 1
 
         metrics = {k: float(v) for k, v in metrics.items()}

@@ -14,8 +14,6 @@ class ParallelizedEnvironmentRenderer:
 
     def __init__(self, num_env: int, figsize=(8, 6)):
         import matplotlib
-
-        matplotlib.use(matplotlib.get_backend())
         import matplotlib.pyplot as plt
 
         self.plt = plt
