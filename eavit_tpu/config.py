@@ -183,7 +183,12 @@ class Config:
     use_wandb: bool = False
 
     # --- TPU-native additions ----------------------------------------------
-    use_pallas_attention: bool = True  # fused flash-attention kernel for ViT
+    # Attention impl: the fused Pallas flash kernel (ops/flash.py) is
+    # parity-tested and selectable, but at the flagship scale (197 tokens,
+    # dim_head 32) XLA's fused attention measures ~4.5s/update faster —
+    # small-sequence regime. Default to the faster path; flip for larger
+    # patch grids / images where the kernel's no-HBM-scores advantage grows.
+    use_pallas_attention: bool = False
     compute_dtype: str = "bfloat16"  # matmul/activation dtype on TPU
     # PRNG generator: "rbg" is much faster than threefry for the dropout /
     # noisy-net / RND-mask bits drawn inside every minibatch step (measured
