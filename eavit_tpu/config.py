@@ -421,6 +421,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_updates", type=int, default=0,
                    help="trace this many updates with jax.profiler then exit "
                         "(reference --pytorch_profiling / --scalene_profiling)")
+    # legacy reference flags (argument_parser.py:23-25) map onto the jax
+    # profiler: N iterations traced, then exit
+    p.add_argument("--pytorch_profiling", action="store_true", default=False)
+    p.add_argument("--scalene_profiling", type=int, default=0)
     p.add_argument("--total_updates", type=int, default=None,
                    help="stop after N updates (reference runs forever)")
     return p
@@ -431,6 +435,11 @@ def get_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     argument_parser.py:36 uses parse_known_args for torchrun/scalene)."""
     args, _unknown = build_arg_parser().parse_known_args(argv)
     assert args.train ^ args.eval, "exactly one of --train / --eval is required"
+    if not args.profile_updates:
+        if args.pytorch_profiling:
+            args.profile_updates = 3  # reference schedule wait+warmup+active
+        elif args.scalene_profiling:
+            args.profile_updates = args.scalene_profiling
     return args
 
 

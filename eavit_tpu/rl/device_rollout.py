@@ -46,10 +46,11 @@ class DeviceBuffers(NamedTuple):
 class DeviceRolloutCollector:
     """Drop-in alternative to RolloutCollector with device-resident state."""
 
-    def __init__(self, cfg: Config, agent: RNDAgent, env: Any):
+    def __init__(self, cfg: Config, agent: RNDAgent, env: Any, renderer: Any = None):
         self.cfg = cfg
         self.agent = agent
         self.env = env
+        self.renderer = renderer  # live frame grid (reference train.py:693-698)
         self.stats = EpisodeStats()
         self._pixel_rnd = cfg.train_method == TrainMethod.ORIGINAL_RND
         self._discrete = agent.action_space == ActionSpaceType.DISCRETE
@@ -276,6 +277,8 @@ class DeviceRolloutCollector:
             )
             for info in infos:
                 self.stats.add(info)
+            if self.renderer is not None:
+                self.renderer.render(states_u8[:, -1:])
 
         # final call: fold last outcome + bootstrap value (train.py:701-704)
         self._buf, _ = self._step(

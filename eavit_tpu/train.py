@@ -165,9 +165,25 @@ def train(cfg: Config, total_updates: Optional[int] = None,
         start_update = int(meta.get("global_update", int(state.global_update)))
         logger.log(f"resumed from {cfg.load_model_path} @ update {start_update}")
 
+    renderer = None
+    if cfg.render:
+        from eavit_tpu.utils.renderer import ParallelizedEnvironmentRenderer
+
+        renderer = ParallelizedEnvironmentRenderer(cfg.num_env_per_process)
+
     # collector acts with the (possibly DP-wrapped) agent: its
     # update_obs_rms/use_rnd go through the mesh-aware wrapper
-    collector = DeviceRolloutCollector(cfg, agent, env)
+    collector = DeviceRolloutCollector(cfg, agent, env, renderer=renderer)
+    if cfg.load_model and cfg.load_model_path:
+        # restore episode bookkeeping (reference train.py:926-956)
+        import json as _json
+
+        meta_path = cfg.load_model_path + ".json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta_json = _json.load(f)
+            if "episode_stats" in meta_json:
+                collector.stats.load_state(meta_json["episode_stats"])
     states = env.reset()
 
     if cfg.ssl_pretraining and cfg.representation_lr_method != RepresentationMethod.NONE:
@@ -215,7 +231,8 @@ def train(cfg: Config, total_updates: Optional[int] = None,
             state,
             update,
             {"global_update": update, "global_step": int(state.global_step),
-             "stats": collector.stats.summary(), "config": cfg},
+             "stats": collector.stats.summary(),
+             "episode_stats": collector.stats.to_state(), "config": cfg},
             mean_rollout_reward=metrics.get("data/ext_reward_per_rollout_mean"),
             mean_episode_return=metrics.get(
                 "data/mean_undiscounted_episode_return"
