@@ -271,7 +271,52 @@ def naive_update(agent: RNDAgent, cfg: Config, state, ro: Rollout, rng):
     )
 
 
+def run_device_env_pipeline(cfg: Config) -> float:
+    """Zero-host pipeline: jittable env + whole-rollout-in-one-scan."""
+    from eavit_tpu.envs.device_env import make_device_env
+    from eavit_tpu.rl.scan_rollout import ScanRolloutCollector
+    from eavit_tpu.train import setup_jax
+
+    setup_jax(cfg)
+    env_params, env_state = make_device_env(
+        cfg.num_env_per_process, seed=42, max_episode_steps=cfg.max_step_per_episode
+    )
+    agent = RNDAgent(cfg, 5)
+    rng = jax.random.PRNGKey(0)
+    rng, k = jax.random.split(rng)
+    state = agent.init_state(k)
+    col = ScanRolloutCollector(cfg, agent, env_params)
+    rng, k1, k2 = jax.random.split(rng, 3)
+    ro, env_state, _ = col.collect(state.params, env_state, k1)
+    state = agent.update_obs_rms(
+        state, jnp.reshape(ro.next_obs, (-1,) + ro.next_obs.shape[2:])
+    )
+    state, m = agent.update(state, ro, k2)
+    float(m["train/loss"])
+    frames = cfg.num_step * cfg.num_env_per_process
+    t0 = time.perf_counter()
+    for _ in range(UPDATES):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        ro, env_state, _ = col.collect(state.params, env_state, k1)
+        state, m = agent.update(state, ro, k2)
+        float(m["train/loss"])
+    return frames * UPDATES / (time.perf_counter() - t0)
+
+
 def main() -> None:
+    if os.environ.get("BENCH_DEVICE_ENV") == "1":
+        fps = run_device_env_pipeline(flagship_cfg())
+        print(
+            json.dumps(
+                {
+                    "metric": "env_frames_per_sec_per_chip (zero-host device-env pipeline)",
+                    "value": round(fps, 1),
+                    "unit": "frames/s",
+                    "vs_baseline": round(fps / 62.5, 3),
+                }
+            )
+        )
+        return
     fps_opt = run_pipeline(flagship_cfg(), naive=False)
     print(f"# optimized: {fps_opt:.1f} frames/s", file=sys.stderr)
 

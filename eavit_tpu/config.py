@@ -47,6 +47,7 @@ class EnvType(str, Enum):
     MARIO = "mario"
     CLASSIC_CONTROL = "classic_control"
     SYNTHETIC = "synthetic"  # deterministic procedural env (tests / benches)
+    SYNTHETIC_DEVICE = "synthetic_device"  # jittable on-device env (zero-host rollouts)
 
 
 class ViTImplementation(int, Enum):

@@ -1,0 +1,154 @@
+"""Jittable on-device environment: the synthetic room-explorer as pure JAX.
+
+A capability the reference architecture cannot express: with the env itself
+a pure function, the ENTIRE rollout (act -> step -> buffer) compiles into a
+single `lax.scan` — zero host involvement, zero host<->device transfers
+until the update finishes. This is the gymnax/envpool-style path for
+TPU-resident experiments and the framework's speed-of-light demonstration
+(``EnvType = synthetic_device``).
+
+Dynamics match :class:`eavit_tpu.envs.synthetic.SyntheticAtariEnv` without
+sticky actions: a walk on a ``grid x grid`` torus of pre-rendered rooms;
++1 reward for each first visit; truncation at ``max_episode_steps`` with
+auto-reset; observations are 4-frame uint8 stacks.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DeviceEnvParams(NamedTuple):
+    frames: jnp.ndarray  # [N, G, G, H, W] uint8 pre-rendered rooms
+    grid: int
+    stack: int
+    max_episode_steps: int
+
+
+class DeviceEnvState(NamedTuple):
+    pos: jnp.ndarray  # [N, 2] int32
+    steps: jnp.ndarray  # [N] int32
+    visited: jnp.ndarray  # [N, G*G] bool
+    episode_reward: jnp.ndarray  # [N] f32
+    stack: jnp.ndarray  # [N, C, H, W] uint8
+    # episode bookkeeping aggregates (device-side EpisodeStats)
+    finished_episodes: jnp.ndarray  # [N] i32
+    last_episode_return: jnp.ndarray  # [N] f32
+    last_episode_rooms: jnp.ndarray  # [N] i32
+
+
+def make_device_env(
+    num_envs: int,
+    seed: int = 42,
+    grid: int = 8,
+    stack: int = 4,
+    height: int = 84,
+    width: int = 84,
+    max_episode_steps: int = 128,
+) -> Tuple[DeviceEnvParams, DeviceEnvState]:
+    """Build per-env room frames (host, once) and the initial device state."""
+    cells = np.empty((num_envs, grid, grid, height, width), np.uint8)
+    yy = np.linspace(0, 4 * np.pi, height)[:, None]
+    xx = np.linspace(0, 4 * np.pi, width)[None, :]
+    idx = np.arange(grid * grid).reshape(grid, grid)
+    for i in range(num_envs):
+        pat_rng = np.random.default_rng((seed + i) * 7919 + 13)
+        phase = pat_rng.uniform(0, 2 * np.pi, size=(grid, grid, 2))
+        c = 127.5 * (
+            1
+            + np.sin(yy[None, None] + phase[..., 0:1, None])
+            * np.cos(xx[None, None] + phase[..., 1:2, None])
+        )
+        c += 40.0 * (idx[..., None, None] / (grid * grid))
+        cells[i] = np.clip(c, 0, 255).astype(np.uint8)
+
+    params = DeviceEnvParams(
+        frames=jnp.asarray(cells),
+        grid=grid,
+        stack=stack,
+        max_episode_steps=max_episode_steps,
+    )
+    state = device_env_reset(params, num_envs)
+    return params, state
+
+
+def _frame_at(params: DeviceEnvParams, pos: jnp.ndarray) -> jnp.ndarray:
+    """[N, 2] -> [N, H, W] room frames."""
+    n = pos.shape[0]
+    return params.frames[jnp.arange(n), pos[:, 0], pos[:, 1]]
+
+
+def device_env_reset(params: DeviceEnvParams, num_envs: int) -> DeviceEnvState:
+    g = params.grid
+    pos = jnp.zeros((num_envs, 2), jnp.int32)
+    visited = jnp.zeros((num_envs, g * g), bool).at[:, 0].set(True)
+    frame = _frame_at(params, pos)
+    return DeviceEnvState(
+        pos=pos,
+        steps=jnp.zeros(num_envs, jnp.int32),
+        visited=visited,
+        episode_reward=jnp.zeros(num_envs, jnp.float32),
+        stack=jnp.repeat(frame[:, None], params.stack, axis=1),
+        finished_episodes=jnp.zeros(num_envs, jnp.int32),
+        last_episode_return=jnp.zeros(num_envs, jnp.float32),
+        last_episode_rooms=jnp.zeros(num_envs, jnp.int32),
+    )
+
+
+def device_env_step(
+    params: DeviceEnvParams, state: DeviceEnvState, actions: jnp.ndarray
+) -> Tuple[DeviceEnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One vectorized step. Returns (state', rewards, dones, truncated).
+
+    Action semantics match SyntheticAtariEnv.step: 0 noop, 1 up, 2 down,
+    3 left, 4 right on a torus; +1 for first visit; truncate at the cap;
+    auto-reset (FrameStack reset fill) — all branch-free.
+    """
+    g = params.grid
+    n = actions.shape[0]
+    dy = jnp.where(actions == 1, -1, 0) + jnp.where(actions == 2, 1, 0)
+    dx = jnp.where(actions == 3, -1, 0) + jnp.where(actions == 4, 1, 0)
+    pos = jnp.stack(
+        [(state.pos[:, 0] + dy) % g, (state.pos[:, 1] + dx) % g], axis=1
+    )
+    room = pos[:, 0] * g + pos[:, 1]
+    first_visit = ~state.visited[jnp.arange(n), room]
+    reward = first_visit.astype(jnp.float32)
+    visited = state.visited.at[jnp.arange(n), room].set(True)
+    episode_reward = state.episode_reward + reward
+    steps = state.steps + 1
+
+    dones = jnp.zeros(n, bool)
+    truncated = steps >= params.max_episode_steps
+    reset = dones | truncated
+
+    frame = _frame_at(params, pos)
+    shifted = jnp.concatenate([state.stack[:, 1:], frame[:, None]], axis=1)
+
+    # auto-reset: back to room (0, 0), fresh visit set, reset-filled stack
+    pos0 = jnp.zeros_like(pos)
+    frame0 = _frame_at(params, pos0)
+    stack0 = jnp.repeat(frame0[:, None], params.stack, axis=1)
+    visited0 = jnp.zeros_like(visited).at[:, 0].set(True)
+
+    r = reset[:, None]
+    new_state = DeviceEnvState(
+        pos=jnp.where(r, pos0, pos),
+        steps=jnp.where(reset, 0, steps),
+        visited=jnp.where(r, visited0, visited),
+        episode_reward=jnp.where(reset, 0.0, episode_reward),
+        stack=jnp.where(reset[:, None, None, None], stack0, shifted),
+        finished_episodes=state.finished_episodes + reset.astype(jnp.int32),
+        last_episode_return=jnp.where(
+            reset, episode_reward, state.last_episode_return
+        ),
+        last_episode_rooms=jnp.where(
+            reset, jnp.sum(visited, axis=1).astype(jnp.int32),
+            state.last_episode_rooms,
+        ),
+    )
+    return new_state, reward, dones, truncated

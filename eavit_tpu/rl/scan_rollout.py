@@ -1,0 +1,113 @@
+"""Whole-rollout-in-one-scan: act + env step + buffering as ONE compiled
+program over a jittable device environment (`envs/device_env.py`).
+
+This is the framework's zero-host rollout path: a full n-step rollout is a
+single `lax.scan`, so an entire PPO iteration (rollout + update) is exactly
+two device dispatches. Nothing the reference's process-per-env architecture
+can approach — there the host crosses the device boundary 2x per env step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from eavit_tpu.config import Config, TrainMethod
+from eavit_tpu.envs.device_env import (
+    DeviceEnvParams,
+    DeviceEnvState,
+    device_env_step,
+)
+from eavit_tpu.models.policy import ActionSpaceType
+from eavit_tpu.rl.agent import RNDAgent, Rollout
+from eavit_tpu.rl.ppo import sample_categorical, sample_normal
+
+
+class ScanRolloutCollector:
+    """Fully-jitted rollout over a device env. API mirrors the host
+    collectors minus host states (env state is a device pytree)."""
+
+    def __init__(self, cfg: Config, agent: RNDAgent, env_params: DeviceEnvParams):
+        self.cfg = cfg
+        self.agent = agent
+        self.env_params = env_params
+        self._pixel_rnd = cfg.train_method == TrainMethod.ORIGINAL_RND
+        self._discrete = agent.action_space == ActionSpaceType.DISCRETE
+        self._collect = jax.jit(self._collect_impl, donate_argnums=(1,))
+
+    def collect(
+        self, params: Any, env_state: DeviceEnvState, rng: jax.Array
+    ) -> Tuple[Rollout, DeviceEnvState, Dict[str, jnp.ndarray]]:
+        return self._collect(params, env_state, rng)
+
+    def _collect_impl(self, params, env_state: DeviceEnvState, rng):
+        cfg = self.cfg
+        ep = self.env_params
+
+        def act(stack, key):
+            k_s, k_d, k_n = jax.random.split(key, 3)
+            obs = stack.astype(jnp.float32) / 255.0
+            out = self.agent.network.apply(
+                {"params": params["policy"]},
+                obs,
+                False,
+                rngs={"dropout": k_d, "noise": k_n},
+            )
+            if self._discrete:
+                action = sample_categorical(k_s, out.policy)
+                pol = out.policy
+            else:
+                action, logp = sample_normal(k_s, out.policy, out.std)
+                pol = logp[:, None]
+            return action, pol, out.value_ext[:, 0], out.value_int[:, 0]
+
+        def step(carry, key):
+            env_state = carry
+            stack = env_state.stack
+            action, pol, v_ext, v_int = act(stack, key)
+            env_state, reward, done, trunc = device_env_step(ep, env_state, action)
+            next_obs = (
+                env_state.stack[:, -1:] if self._pixel_rnd else env_state.stack
+            )
+            ys = dict(
+                states=stack,
+                actions=action,
+                rewards=reward,
+                dones=done,
+                next_obs=next_obs,
+                policy=pol,
+                value_ext=v_ext,
+                value_int=v_int,
+            )
+            return env_state, ys
+
+        keys = jax.random.split(rng, cfg.num_step + 1)
+        env_state, ys = jax.lax.scan(step, env_state, keys[: cfg.num_step])
+
+        # bootstrap value (reference train.py:701-704)
+        _, _, v_ext_T, v_int_T = act(env_state.stack, keys[-1])
+        rollout = Rollout(
+            states=ys["states"],
+            actions=ys["actions"],
+            rewards=ys["rewards"],
+            dones=ys["dones"],
+            next_obs=ys["next_obs"],
+            value_ext=jnp.concatenate([ys["value_ext"], v_ext_T[None]], axis=0),
+            value_int=jnp.concatenate([ys["value_int"], v_int_T[None]], axis=0),
+            policy=ys["policy"],
+        )
+        metrics = {
+            "data/num_episodes": jnp.sum(env_state.finished_episodes).astype(
+                jnp.float32
+            ),
+            "data/mean_undiscounted_episode_return": jnp.mean(
+                env_state.last_episode_return
+            ),
+            "data/mean_number_of_visited_rooms": jnp.mean(
+                env_state.last_episode_rooms.astype(jnp.float32)
+            ),
+        }
+        return rollout, env_state, metrics

@@ -124,6 +124,65 @@ def setup_jax(cfg: Config) -> None:
         pass
 
 
+def _train_device_env(cfg: Config, logger: Logger,
+                      total_updates: Optional[int],
+                      profile_updates: int) -> Dict[str, Any]:
+    """Zero-host training loop over the jittable device env: one dispatch
+    for the whole rollout, one for the whole update."""
+    from eavit_tpu.envs.device_env import make_device_env
+    from eavit_tpu.rl.scan_rollout import ScanRolloutCollector
+
+    env_params, env_state = make_device_env(
+        cfg.num_env_per_process,
+        seed=cfg.seed,
+        grid=cfg.synthetic_grid,
+        stack=cfg.state_stack_size,
+        height=cfg.pre_proc_height,
+        width=cfg.pre_proc_width,
+        max_episode_steps=cfg.max_step_per_episode,
+    )
+    agent = RNDAgent(cfg, 5)  # device env action set
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, k = jax.random.split(rng)
+    state = agent.init_state(k)
+    collector = ScanRolloutCollector(cfg, agent, env_params)
+    ckpt = CheckpointManager(cfg.save_model_path, cfg.log_name, cfg.save_ckpt_every)
+
+    # warm-up: random-policy rollouts feed obs_rms (train.py:502-569)
+    if agent.use_rnd and not cfg.load_model:
+        for _ in range(max(1, cfg.obs_norm_step)):
+            rng, k = jax.random.split(rng)
+            ro, env_state, _ = collector.collect(state.params, env_state, k)
+            flat = jnp.reshape(ro.next_obs, (-1,) + ro.next_obs.shape[2:])
+            state = agent.update_obs_rms(state, flat)
+
+    if profile_updates:
+        logger.start_profiling(profile_updates)
+    update, last = 0, {}
+    while total_updates is None or total_updates < 0 or update < total_updates:
+        rng, k1, k2 = jax.random.split(rng, 3)
+        rollout, env_state, env_metrics = collector.collect(
+            state.params, env_state, k1
+        )
+        state, metrics = agent.update(state, rollout, k2)
+        update += 1
+        metrics = {k_: float(v) for k_, v in {**metrics, **env_metrics}.items()}
+        logger.log_scalars(metrics, step=update)
+        last = metrics
+        logger.log(
+            f"update {update} | loss {metrics['train/loss']:.4f} | "
+            f"return {metrics.get('data/mean_undiscounted_episode_return', 0):.2f}"
+        )
+        ckpt.maybe_save(
+            state, update, {"global_update": update},
+            mean_episode_return=metrics.get("data/mean_undiscounted_episode_return"),
+        )
+        if logger.step_profiler():
+            break
+    logger.close()
+    return last
+
+
 def train(cfg: Config, total_updates: Optional[int] = None,
           profile_updates: int = 0, log_dir: str = "logs") -> Dict[str, Any]:
     setup_jax(cfg)
@@ -132,9 +191,12 @@ def train(cfg: Config, total_updates: Optional[int] = None,
     logger.log(f"devices: {jax.devices()}")
     logger.log(f"config: {cfg}")
 
+    from eavit_tpu.config import EnvType
     from eavit_tpu.utils.seed import set_seed
 
     set_seed(cfg.seed)
+    if cfg.env_type == EnvType.SYNTHETIC_DEVICE:
+        return _train_device_env(cfg, logger, total_updates, profile_updates)
     env = make_vector_env(cfg, rank=0, render=cfg.render)
     action_space = _detect_action_space(env)
     output_size = env.action_space_n or getattr(env, "action_dim", 1) or 1

@@ -1,0 +1,76 @@
+"""On-device env + whole-rollout-in-one-scan tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eavit_tpu.config import Config, TrainMethod, ViTConfig
+from eavit_tpu.envs.device_env import (
+    device_env_reset,
+    device_env_step,
+    make_device_env,
+)
+from eavit_tpu.envs.synthetic import SyntheticAtariEnv
+from eavit_tpu.rl.agent import RNDAgent
+from eavit_tpu.rl.scan_rollout import ScanRolloutCollector
+
+
+def test_device_env_matches_host_env():
+    """Same actions => identical frames/rewards as the host synthetic env
+    (sticky off)."""
+    params, state = make_device_env(
+        2, seed=42, grid=8, max_episode_steps=6
+    )
+    hosts = [
+        SyntheticAtariEnv(seed=42 + i, max_episode_steps=6, sticky_action=False)
+        for i in range(2)
+    ]
+    host_states = np.stack([h.reset()[0] for h in hosts])
+    np.testing.assert_array_equal(np.asarray(state.stack), host_states)
+
+    rng = np.random.default_rng(0)
+    step = jax.jit(lambda s, a: device_env_step(params, s, a))
+    for t in range(14):  # crosses the 6-step truncation -> reset paths
+        actions = rng.integers(0, 5, size=2)
+        state, reward, done, trunc = step(state, jnp.asarray(actions))
+        hs, hr = [], []
+        for h, a in zip(hosts, actions):
+            s, r, d, tr, _ = h.step(int(a))
+            if d or tr:
+                s, _ = h.reset()
+            hs.append(s)
+            hr.append(r)
+        np.testing.assert_array_equal(
+            np.asarray(state.stack), np.stack(hs), err_msg=f"step {t}"
+        )
+        np.testing.assert_allclose(np.asarray(reward), np.asarray(hr, np.float32))
+
+
+def test_scan_rollout_trains():
+    cfg = Config(
+        vit=ViTConfig(
+            dim=32, patch_size=21, depth=1, heads=2, dim_head=16, mlp_dim=64,
+            dropout=0.0, emb_dropout=0.0,
+        ),
+        train_method=TrainMethod.ORIGINAL_RND,
+        num_step=8,
+        num_env_per_process=4,
+        mini_batch=2,
+        epoch=1,
+        compute_dtype="float32",
+        use_pallas_attention=False,
+    )
+    env_params, env_state = make_device_env(4, seed=1, max_episode_steps=6)
+    agent = RNDAgent(cfg, 5)
+    state = agent.init_state(jax.random.PRNGKey(0))
+    collector = ScanRolloutCollector(cfg, agent, env_params)
+
+    for u in range(2):
+        rollout, env_state, env_metrics = collector.collect(
+            state.params, env_state, jax.random.PRNGKey(10 + u)
+        )
+        assert rollout.states.shape == (8, 4, 4, 84, 84)
+        state, metrics = agent.update(state, rollout, jax.random.PRNGKey(20 + u))
+        assert np.isfinite(float(metrics["train/loss"]))
+    assert float(env_metrics["data/num_episodes"]) > 0
+    assert int(state.global_update) == 2
