@@ -125,8 +125,15 @@ class DataParallelAgent:
 
         def act(params, obs_u8, rng):
             if "act" not in self._jitted:
+                def sharded_act(params, obs_u8, rng):
+                    # decorrelate sampling noise across env shards
+                    rng = jax.random.fold_in(rng, jax.lax.axis_index(AXIS))
+                    return self.agent._act_impl(
+                        params, obs_u8, rng, deterministic=False
+                    )
+
                 f = shard_map(
-                    partial(self.agent._act_impl, deterministic=False),
+                    sharded_act,
                     mesh=self.mesh,
                     in_specs=(rep, P(AXIS), rep),
                     out_specs=P(AXIS),

@@ -379,7 +379,7 @@ class RNDAgent:
         y_all = env_major(ro.actions)
         old_policy_all = env_major(ro.policy)
 
-        def loss_fn(params, batch, key):
+        def loss_fn(params, ssl_target, batch, key):
             k_drop, k_noise, k_mask, k_ssl = jax.random.split(key, 4)
             obs = batch["s"].astype(jnp.float32) / 255.0
             out = self.network.apply(
@@ -421,9 +421,10 @@ class RNDAgent:
             repr_loss = jnp.zeros(())
             repr_coef = 0.0
             if self.ssl is not None and not cfg.freeze_shared_backbone:
-                repr_loss = self.ssl.loss(
-                    params, state.ssl_target, batch["s"], k_ssl
-                )
+                # ssl_target is the CURRENT EMA target threaded through the
+                # minibatch scan (reference updates it per minibatch,
+                # agents.py:531-532)
+                repr_loss = self.ssl.loss(params, ssl_target, batch["s"], k_ssl)
                 repr_coef = self.ssl.loss_coef
 
             loss = (
@@ -449,7 +450,7 @@ class RNDAgent:
             }
             return loss, aux
 
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)  # diff wrt params only
 
         def gather(idx):
             batch = {
@@ -467,7 +468,9 @@ class RNDAgent:
         def minibatch_step(carry, xs):
             params, opt_state, ssl_target = carry
             idx, key = xs
-            (_, aux), grads = grad_fn(params, gather(idx), key)
+            (_, aux), grads = grad_fn(
+                params, jax.lax.stop_gradient(ssl_target), gather(idx), key
+            )
             if cfg.freeze_shared_backbone:
                 grads["policy"]["feature"] = jax.tree_util.tree_map(
                     jnp.zeros_like, grads["policy"]["feature"]

@@ -93,10 +93,15 @@ def ssl_pretrain(
     epoch = 0
     while num_epochs < 0 or epoch < num_epochs:
         train_states, states = random_rollout(states)
-        rng, k = jax.random.split(rng)
-        state, ssl_opt_state, train_loss, eval_loss = pretrainer.epoch(
-            state, ssl_opt_state, jnp.asarray(train_states), eval_states, k
-        )
+        train_states = jnp.asarray(train_states)
+        # Epoch passes over each collected rollout (reference train.py:404
+        # runs `for k in range(epoch)` over the dataset before collecting
+        # the next)
+        for _ in range(max(1, cfg.epoch)):
+            rng, k = jax.random.split(rng)
+            state, ssl_opt_state, train_loss, eval_loss = pretrainer.epoch(
+                state, ssl_opt_state, train_states, eval_states, k
+            )
         train_loss, eval_loss = float(train_loss), float(eval_loss)
         logger.log_scalars(
             {
