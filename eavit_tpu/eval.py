@@ -26,9 +26,13 @@ def evaluate(
     render: bool = False,
     save_intrinsic_trace: Optional[str] = None,
 ) -> Dict[str, Any]:
+    from eavit_tpu.config import EnvType
     from eavit_tpu.train import setup_jax
 
     setup_jax(cfg)
+    if cfg.env_type == EnvType.SYNTHETIC_DEVICE:
+        # playback on the host synthetic env — bit-exact same dynamics
+        cfg = cfg.replace(env_type=EnvType.SYNTHETIC)
     cfg = cfg.replace(num_env_per_process=1)  # single env (eval.py:23)
     logger = Logger(cfg.log_name + "_eval", use_tensorboard=False)
     env = make_vector_env(cfg, rank=0, render=render)
