@@ -127,6 +127,14 @@ def setup_jax(cfg: Config) -> None:
         jax.config.update("jax_default_prng_impl", cfg.prng_impl)
     except Exception:  # already-initialized or unknown impl: keep default
         pass
+    try:
+        # persistent XLA compilation cache: the big epoch x minibatch update
+        # program compiles once per machine, not once per process
+        cache_dir = os.path.expanduser("~/.cache/eavit_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
 
 def _train_device_env(cfg: Config, logger: Logger,
