@@ -24,6 +24,7 @@ import numpy as np
 
 class DeviceEnvParams(NamedTuple):
     frames: jnp.ndarray  # [N, G, G, H, W] uint8 pre-rendered rooms
+    walls: jnp.ndarray  # [N, G, G, 4] bool — blocked (up, down, left, right)
     grid: int
     stack: int
     max_episode_steps: int
@@ -41,6 +42,37 @@ class DeviceEnvState(NamedTuple):
     last_episode_rooms: jnp.ndarray  # [N] i32
 
 
+def _maze_walls(grid: int, rng: np.random.Generator) -> np.ndarray:
+    """DFS spanning-tree maze: [G, G, 4] blocked flags (up/down/left/right).
+
+    Only corridors of the spanning tree are open, so random walks cover the
+    map poorly — the regime where directed (RND) exploration separates from
+    a random baseline.
+    """
+    walls = np.ones((grid, grid, 4), bool)
+    visited = np.zeros((grid, grid), bool)
+    stack = [(0, 0)]
+    visited[0, 0] = True
+    # (dy, dx, dir_index, opposite_dir_index)
+    moves = [(-1, 0, 0, 1), (1, 0, 1, 0), (0, -1, 2, 3), (0, 1, 3, 2)]
+    while stack:
+        y, x = stack[-1]
+        nbrs = []
+        for dy, dx, d, od in moves:
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < grid and 0 <= nx < grid and not visited[ny, nx]:
+                nbrs.append((ny, nx, d, od))
+        if not nbrs:
+            stack.pop()
+            continue
+        ny, nx, d, od = nbrs[rng.integers(len(nbrs))]
+        walls[y, x, d] = False
+        walls[ny, nx, od] = False
+        visited[ny, nx] = True
+        stack.append((ny, nx))
+    return walls
+
+
 def make_device_env(
     num_envs: int,
     seed: int = 42,
@@ -49,8 +81,14 @@ def make_device_env(
     height: int = 84,
     width: int = 84,
     max_episode_steps: int = 128,
+    maze: bool = False,
 ) -> Tuple[DeviceEnvParams, DeviceEnvState]:
-    """Build per-env room frames (host, once) and the initial device state."""
+    """Build per-env room frames (host, once) and the initial device state.
+
+    With ``maze=True`` movement is restricted to a DFS spanning-tree maze
+    (per-env layout) and the torus wrap is disabled — a bottlenecked map
+    where random walks stall.
+    """
     cells = np.empty((num_envs, grid, grid, height, width), np.uint8)
     yy = np.linspace(0, 4 * np.pi, height)[:, None]
     xx = np.linspace(0, 4 * np.pi, width)[None, :]
@@ -66,8 +104,19 @@ def make_device_env(
         c += 40.0 * (idx[..., None, None] / (grid * grid))
         cells[i] = np.clip(c, 0, 255).astype(np.uint8)
 
+    if maze:
+        walls = np.stack(
+            [
+                _maze_walls(grid, np.random.default_rng((seed + i) * 104729 + 7))
+                for i in range(num_envs)
+            ]
+        )
+    else:
+        walls = np.zeros((num_envs, grid, grid, 4), bool)
+
     params = DeviceEnvParams(
         frames=jnp.asarray(cells),
+        walls=jnp.asarray(walls),
         grid=grid,
         stack=stack,
         max_episode_steps=max_episode_steps,
@@ -112,6 +161,14 @@ def device_env_step(
     n = actions.shape[0]
     dy = jnp.where(actions == 1, -1, 0) + jnp.where(actions == 2, 1, 0)
     dx = jnp.where(actions == 3, -1, 0) + jnp.where(actions == 4, 1, 0)
+    # direction index: 0 up, 1 down, 2 left, 3 right (noop mapped to 0 but
+    # gated by moved); blocked moves keep the current position
+    dir_idx = jnp.clip(actions - 1, 0, 3)
+    moved = actions > 0
+    blocked = params.walls[jnp.arange(n), state.pos[:, 0], state.pos[:, 1], dir_idx]
+    allow = moved & ~blocked
+    dy = jnp.where(allow, dy, 0)
+    dx = jnp.where(allow, dx, 0)
     pos = jnp.stack(
         [(state.pos[:, 0] + dy) % g, (state.pos[:, 1] + dx) % g], axis=1
     )
