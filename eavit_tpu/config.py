@@ -200,6 +200,14 @@ class Config:
     async_env_pool: bool = True  # overlap env stepping with device compute
     total_updates: int = -1  # -1 = run forever (reference train.py:580)
     synthetic_grid: int = 8  # room-grid side length of the synthetic env
+    # DFS spanning-tree maze walls for the synthetic/device env (hard-
+    # exploration regime where random walks stall; envs/device_env.py)
+    synthetic_maze: bool = False
+    # SSL pretraining epoch budget, independent of total_updates (-1 = run
+    # forever, like the reference's while-True SSL loop, train.py:342)
+    ssl_pretrain_epochs: int = -1
+    # eval driver episode budget (-1 = run forever, reference eval.py:198)
+    eval_episodes: int = -1
 
     # ------------------------------------------------------------------
     @property
@@ -335,6 +343,9 @@ _KEYMAP: Dict[str, Tuple[Tuple[str, ...], Any]] = {
     "TotalUpdates": (("total_updates",), int),
     "Seed": (("seed",), int),
     "SyntheticGrid": (("synthetic_grid",), int),
+    "SyntheticMaze": (("synthetic_maze",), _as_bool),
+    "SSLEpochs": (("ssl_pretrain_epochs",), int),
+    "EvalEpisodes": (("eval_episodes",), int),
 }
 
 
@@ -428,6 +439,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--scalene_profiling", type=int, default=0)
     p.add_argument("--total_updates", type=int, default=None,
                    help="stop after N updates (reference runs forever)")
+    p.add_argument("--ssl_epochs", type=int, default=None,
+                   help="SSL pretraining epochs (-1 = run forever)")
+    p.add_argument("--num_episodes", type=int, default=None,
+                   help="eval: stop after N episodes (-1 = run forever)")
     return p
 
 
@@ -458,6 +473,10 @@ def config_from_args(args: argparse.Namespace) -> Config:
         overrides["load_model"] = True
     if args.total_updates is not None:
         overrides["total_updates"] = args.total_updates
+    if getattr(args, "ssl_epochs", None) is not None:
+        overrides["ssl_pretrain_epochs"] = args.ssl_epochs
+    if getattr(args, "num_episodes", None) is not None:
+        overrides["eval_episodes"] = args.num_episodes
     cfg = load_config(args.config_path, overrides)
     if args.debug_params:
         cfg = cfg.with_debug_params()

@@ -89,8 +89,17 @@ def make_classic_control_env(
 
         env = gym.make(cfg.env_id, render_mode="rgb_array")
         env.reset(seed=seed)
+        # classic-control stack omits StickyAction and MaxAndSkip — the
+        # reference comments both out (envs.py:513-517):
+        # rgb-render -> gray/resize -> stack -> step cap -> monitor
         env = W.RGBArrayAsObservationWrapper(env)
-        return _wrap_common(env, cfg, seed, montezuma=False)
+        env = W.ResizeAndGrayScaleWrapper(
+            env, cfg.pre_proc_height, cfg.pre_proc_width
+        )
+        env = W.FrameStackWrapper(env, cfg.state_stack_size)
+        env = W.MaxStepPerEpisodeWrapper(env, cfg.max_step_per_episode)
+        env = W.MonitorWrapper(env)
+        return env
 
     return thunk
 

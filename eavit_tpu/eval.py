@@ -60,7 +60,9 @@ def evaluate(
     steps = 0
     returns, intrinsic_trace = [], []
     ep_return = 0.0
-    while episodes < num_episodes:
+    # num_episodes < 0 = run forever (reference eval.py:198 plays back
+    # until killed)
+    while num_episodes < 0 or episodes < num_episodes:
         rng, k = jax.random.split(rng)
         # eval mode: deterministic forwards (set_mode("eval"), eval.py:191)
         actions, v_ext, v_int, _ = agent.act(
@@ -106,5 +108,7 @@ def evaluate(
 
 def main(args) -> None:
     cfg = config_from_args(args)
-    out = evaluate(cfg, num_episodes=max(1, cfg.total_updates), render=cfg.render)
+    # episode budget has its own knob (--num_episodes / EvalEpisodes);
+    # -1 matches the reference's run-forever playback (eval.py:198)
+    out = evaluate(cfg, num_episodes=cfg.eval_episodes, render=cfg.render)
     print(out)

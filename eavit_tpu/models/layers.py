@@ -71,10 +71,14 @@ class NoisyLinear(nn.Module):
 
     ``y = (W + W_noisy * outer(eps_out, eps_in)) x + (b + b_noisy * eps_out)``
     with ``eps ~ N(0, sigma0/sqrt(fan_in))`` resampled every training
-    forward via the ``noise`` RNG stream; at eval the last noise convention
-    is replaced by fresh noise too (the reference keeps a buffer; the
-    functional equivalent draws per-call — identical in distribution since
-    the reference resamples every training forward, model.py:65-67).
+    forward via the ``noise`` RNG stream (identical in distribution to the
+    reference, which resamples every training forward, model.py:65-67).
+
+    Documented divergence: eval forwards here are NOISE-FREE (only the
+    deterministic ``W x + b`` term). The reference applies whatever noise
+    buffer was last sampled during training at eval time (model.py:60-72) —
+    a stale-buffer artifact of stateful modules, not a design choice; the
+    functional build drops it.
     """
 
     features: int

@@ -49,6 +49,18 @@ from eavit_tpu.rl.ppo import (
 )
 
 
+# global_step is stored as a [hi, lo] int32 pair in base 2**30 so a
+# week-long flagship run cannot overflow (a single int32 wraps at ~262k
+# updates x 8,192 frames; jax has no int64 without global x64 mode)
+GLOBAL_STEP_BASE = 1 << 30
+
+
+def global_step_value(state: "AgentState") -> int:
+    """Total env frames consumed, as a Python int (overflow-free)."""
+    hi_lo = np.asarray(state.global_step)
+    return int(hi_lo[0]) * GLOBAL_STEP_BASE + int(hi_lo[1])
+
+
 class AgentState(NamedTuple):
     """All mutable agent state as one pytree (device-resident)."""
 
@@ -59,7 +71,7 @@ class AgentState(NamedTuple):
     obs_rms: Any  # RMSState or None (PPO mode)
     reward_rms: norm.RMSState
     reward_filter: norm.RewardFilterState
-    global_step: jnp.ndarray  # i64-ish counter
+    global_step: jnp.ndarray  # [hi, lo] i32 pair, base 2**30
     global_update: jnp.ndarray
 
 
@@ -74,6 +86,13 @@ class Rollout(NamedTuple):
     value_ext: jnp.ndarray  # [T+1, N] f32
     value_int: jnp.ndarray  # [T+1, N] f32
     policy: jnp.ndarray  # [T, N, A] logits | [T, N, 1] logp (continuous)
+
+
+def _step_add(hi_lo: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Add ``n`` frames to the [hi, lo] base-2**30 counter (jit-safe)."""
+    lo = hi_lo[1] + n
+    hi = hi_lo[0] + lo // GLOBAL_STEP_BASE
+    return jnp.stack([hi, lo % GLOBAL_STEP_BASE])
 
 
 class RNDAgent:
@@ -172,7 +191,7 @@ class RNDAgent:
             obs_rms=obs_rms,
             reward_rms=norm.rms_init(()),
             reward_filter=norm.reward_filter_init(cfg.num_env_per_process),
-            global_step=jnp.zeros((), jnp.int32),
+            global_step=jnp.zeros((2,), jnp.int32),
             global_update=jnp.zeros((), jnp.int32),
         )
 
@@ -322,11 +341,19 @@ class RNDAgent:
                 state.reward_filter, total_int_reward, cfg.int_gamma
             )
             flat = per_step.reshape(-1)
-            mean = jnp.mean(flat)
-            var = jnp.var(flat)
             if self.axis_name is not None:
-                mean = jax.lax.pmean(mean, self.axis_name)
-                var = jax.lax.pmean(var, self.axis_name)  # approx pooled var
+                # exact pooled moments across the mesh: psum of
+                # sum / sumsq / count (pmean of per-shard variances would
+                # drop the between-shard mean-spread term)
+                n = jax.lax.psum(jnp.asarray(flat.shape[0], jnp.float32),
+                                 self.axis_name)
+                s = jax.lax.psum(jnp.sum(flat), self.axis_name)
+                ss = jax.lax.psum(jnp.sum(jnp.square(flat)), self.axis_name)
+                mean = s / n
+                var = ss / n - jnp.square(mean)
+            else:
+                mean = jnp.mean(flat)
+                var = jnp.var(flat)
             new_reward_rms = norm.rms_update_from_moments(
                 state.reward_rms, mean, var, per_step.shape[0]
             )
@@ -465,8 +492,19 @@ class RNDAgent:
                 batch["rnd_in"] = rnd_train_in[idx]
             return batch
 
+        # under verbose logging the last minibatch's gradient pytree is
+        # threaded through the scan carry and returned for histogram dumps
+        # (reference logs grad histograms per verbose update,
+        # agents.py:500-506) — one extra params-sized buffer, no extra FLOPs
+        collect_grads = cfg.verbose_logging
+        grads0 = (
+            jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            if collect_grads
+            else None
+        )
+
         def minibatch_step(carry, xs):
-            params, opt_state, ssl_target = carry
+            params, opt_state, ssl_target, _ = carry
             idx, key = xs
             (_, aux), grads = grad_fn(
                 params, jax.lax.stop_gradient(ssl_target), gather(idx), key
@@ -482,7 +520,8 @@ class RNDAgent:
             params = optax.apply_updates(params, updates)
             if self.ssl is not None:
                 ssl_target = self.ssl.update_target(params, ssl_target)
-            return (params, opt_state, ssl_target), aux
+            kept = grads if collect_grads else None
+            return (params, opt_state, ssl_target, kept), aux
 
         def epoch_step(carry, key):
             k_perm, k_mb = jax.random.split(key)
@@ -495,14 +534,16 @@ class RNDAgent:
             return carry, jax.tree_util.tree_map(jnp.mean, auxs)
 
         epoch_keys = jax.random.split(rng, cfg.epoch)
-        (params, opt_state, ssl_target), auxs = jax.lax.scan(
+        (params, opt_state, ssl_target, last_grads), auxs = jax.lax.scan(
             epoch_step,
-            (state.params, state.opt_state, state.ssl_target),
+            (state.params, state.opt_state, state.ssl_target, grads0),
             epoch_keys,
         )
         metrics.update(
             {k: jnp.mean(v) for k, v in auxs.items()}
         )
+        if collect_grads:
+            metrics["_grads"] = last_grads
         metrics["data/ext_reward_per_rollout_mean"] = jnp.mean(total_reward)
         metrics["data/ext_reward_per_rollout_sum"] = jnp.sum(total_reward)
         if self.axis_name is not None:
@@ -517,7 +558,7 @@ class RNDAgent:
             obs_rms=new_obs_rms,
             reward_rms=new_reward_rms,
             reward_filter=new_reward_filter,
-            global_step=state.global_step + num_samples,
+            global_step=_step_add(state.global_step, num_samples),
             global_update=state.global_update + 1,
         )
         return new_state, metrics

@@ -53,7 +53,10 @@ def normal_log_prob(
 
 
 def normal_entropy(std: jnp.ndarray, batch: int) -> jnp.ndarray:
-    ent = jnp.sum(0.5 * jnp.log(2 * jnp.pi * jnp.e * jnp.square(std)))
+    """Per-dim MEAN of Normal entropies: the reference's entropy bonus is
+    ``m.entropy().mean()`` (agents.py:462), which averages over both the
+    batch AND the action dims — summing dims would scale the bonus by A."""
+    ent = jnp.mean(0.5 * jnp.log(2 * jnp.pi * jnp.e * jnp.square(std)))
     return jnp.full((batch,), ent)
 
 

@@ -25,7 +25,7 @@ from eavit_tpu.config import (
 )
 from eavit_tpu.envs.builders import make_vector_env
 from eavit_tpu.models.policy import ActionSpaceType
-from eavit_tpu.rl.agent import RNDAgent
+from eavit_tpu.rl.agent import RNDAgent, global_step_value
 from eavit_tpu.rl.device_rollout import DeviceRolloutCollector
 from eavit_tpu.utils.checkpoint import CheckpointManager, load_checkpoint
 from eavit_tpu.utils.logger import Logger
@@ -153,6 +153,7 @@ def _train_device_env(cfg: Config, logger: Logger,
         height=cfg.pre_proc_height,
         width=cfg.pre_proc_width,
         max_episode_steps=cfg.max_step_per_episode,
+        maze=cfg.synthetic_maze,
     )
     agent = RNDAgent(cfg, 5)  # device env action set
     rng = jax.random.PRNGKey(cfg.seed)
@@ -160,6 +161,15 @@ def _train_device_env(cfg: Config, logger: Logger,
     state = agent.init_state(k)
     collector = ScanRolloutCollector(cfg, agent, env_params)
     ckpt = CheckpointManager(cfg.save_model_path, cfg.log_name, cfg.save_ckpt_every)
+
+    start_update = 0
+    if cfg.load_model and cfg.load_model_path:
+        # full resume: params, opt state, normalizers, counters (mirrors the
+        # host-env path below; reference train.py:198-238)
+        state, meta = load_checkpoint(cfg.load_model_path, state)
+        start_update = int(meta.get("global_update", int(state.global_update)))
+        ckpt.restore_best(meta)
+        logger.log(f"resumed from {cfg.load_model_path} @ update {start_update}")
 
     # warm-up: random-policy rollouts feed obs_rms (train.py:502-569)
     if agent.use_rnd and not cfg.load_model:
@@ -171,7 +181,7 @@ def _train_device_env(cfg: Config, logger: Logger,
 
     if profile_updates:
         logger.start_profiling(profile_updates)
-    update, last = 0, {}
+    update, last = start_update, {}
     while total_updates is None or total_updates < 0 or update < total_updates:
         rng, k1, k2 = jax.random.split(rng, 3)
         rollout, env_state, env_metrics = collector.collect(
@@ -179,6 +189,9 @@ def _train_device_env(cfg: Config, logger: Logger,
         )
         state, metrics = agent.update(state, rollout, k2)
         update += 1
+        grads = metrics.pop("_grads", None)
+        if grads is not None:
+            logger.log_params_histograms(grads["policy"], "PPO_grads")
         metrics = {k_: float(v) for k_, v in {**metrics, **env_metrics}.items()}
         logger.log_scalars(metrics, step=update)
         last = metrics
@@ -198,10 +211,17 @@ def _train_device_env(cfg: Config, logger: Logger,
 
 def train(cfg: Config, total_updates: Optional[int] = None,
           profile_updates: int = 0, log_dir: str = "logs") -> Dict[str, Any]:
+    from eavit_tpu.parallel.dp import get_dist_info, init_distributed
+
+    # multi-host rendezvous BEFORE the first device query (replaces torchrun
+    # c10d, reference dist_utils.py:61-77); no-op on a single host
+    init_distributed()
     setup_jax(cfg)
+    world_size, rank, _, _ = get_dist_info()
     logger = Logger(cfg.log_name, log_dir=log_dir, use_wandb=cfg.use_wandb,
-                    verbose=cfg.verbose_logging)
-    logger.log(f"devices: {jax.devices()}")
+                    verbose=cfg.verbose_logging,
+                    rank=rank)
+    logger.log(f"devices: {jax.devices()} (process {rank}/{world_size})")
     logger.log(f"config: {cfg}")
 
     from eavit_tpu.config import EnvType
@@ -210,7 +230,9 @@ def train(cfg: Config, total_updates: Optional[int] = None,
     set_seed(cfg.seed)
     if cfg.env_type == EnvType.SYNTHETIC_DEVICE:
         return _train_device_env(cfg, logger, total_updates, profile_updates)
-    env = make_vector_env(cfg, rank=0, render=cfg.render)
+    # per-host env fleet seeded by the GLOBAL rank so no two hosts build
+    # identically-seeded envs (reference dist_utils.py:108-109)
+    env = make_vector_env(cfg, rank=rank, render=cfg.render)
     action_space = _detect_action_space(env)
     output_size = env.action_space_n or getattr(env, "action_dim", 1) or 1
 
@@ -238,6 +260,7 @@ def train(cfg: Config, total_updates: Optional[int] = None,
     if cfg.load_model and cfg.load_model_path:
         state, meta = load_checkpoint(cfg.load_model_path, state)
         start_update = int(meta.get("global_update", int(state.global_update)))
+        ckpt.restore_best(meta)
         logger.log(f"resumed from {cfg.load_model_path} @ update {start_update}")
 
     renderer = None
@@ -263,7 +286,12 @@ def train(cfg: Config, total_updates: Optional[int] = None,
 
     if cfg.ssl_pretraining and cfg.representation_lr_method != RepresentationMethod.NONE:
         rng, k = jax.random.split(rng)
-        ssl_epochs = total_updates if total_updates is not None else -1
+        # dedicated SSL epoch budget (reference's SSL loop is independent of
+        # the PPO update budget, train.py:292-499); falls back to
+        # total_updates for backwards compatibility with round-1 runs
+        ssl_epochs = cfg.ssl_pretrain_epochs
+        if ssl_epochs < 0 and total_updates is not None:
+            ssl_epochs = total_updates
         state, states = ssl_pretrain(
             cfg, base_agent, state, env, collector, logger, ckpt, k, ssl_epochs
         )
@@ -285,18 +313,24 @@ def train(cfg: Config, total_updates: Optional[int] = None,
         state, metrics = agent.update(state, rollout, k_upd)
         update += 1
 
+        grads = metrics.pop("_grads", None)
         metrics = {k: float(v) for k, v in metrics.items()}
         metrics.update(collector.stats.summary())
         logger.log_scalars(metrics, step=update)
         if cfg.verbose_logging:
-            # parameter histogram dumps (reference utils.py:345-419)
+            # parameter + gradient histogram dumps (reference
+            # utils.py:345-419, agents.py:500-506)
             logger.log_params_histograms(state.params["policy"], "PPO")
+            if grads is not None:
+                logger.log_params_histograms(grads["policy"], "PPO_grads")
             if base_agent.use_rnd:
                 logger.log_params_histograms(state.params["rnd_pred"], "RND")
+                if grads is not None:
+                    logger.log_params_histograms(grads["rnd_pred"], "RND_grads")
         last_metrics = metrics
         ret = metrics.get("data/mean_undiscounted_episode_return")
         logger.log(
-            f"update {update} | global_step {int(state.global_step)} | "
+            f"update {update} | global_step {global_step_value(state)} | "
             f"loss {metrics.get('train/loss', float('nan')):.4f} | "
             f"return {f'{ret:.2f}' if ret is not None else '-'} | "
             f"rooms {metrics.get('data/total_number_of_visited_rooms', 0):.0f}"
@@ -305,7 +339,7 @@ def train(cfg: Config, total_updates: Optional[int] = None,
         ckpt.maybe_save(
             state,
             update,
-            {"global_update": update, "global_step": int(state.global_step),
+            {"global_update": update, "global_step": global_step_value(state),
              "stats": collector.stats.summary(),
              "episode_stats": collector.stats.to_state(), "config": cfg},
             mean_rollout_reward=metrics.get("data/ext_reward_per_rollout_mean"),

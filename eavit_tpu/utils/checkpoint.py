@@ -90,6 +90,15 @@ class CheckpointManager:
             "ssl_loss": float("inf"),
         }
 
+    def restore_best(self, metadata: Dict[str, Any]) -> None:
+        """Resume best-metric watermarks from a checkpoint sidecar so a
+        restart does not overwrite the best-model files with the first
+        mediocre metric (reference persists best metrics in the checkpoint,
+        train.py:904-923)."""
+        for k, v in (metadata.get("best_metrics") or {}).items():
+            if k in self.best and v is not None:
+                self.best[k] = float(v)
+
     def _path(self, suffix: str = "") -> str:
         return os.path.join(self.directory, self.run_name + suffix)
 
@@ -104,27 +113,33 @@ class CheckpointManager:
     ) -> Dict[str, str]:
         """Returns {kind: path} for every checkpoint written this call."""
         written: Dict[str, str] = {}
-        if global_update % self.save_every == 0:
-            written["scheduled"] = save_checkpoint(self._path(), state, metadata)
+        # update watermarks first so every sidecar written this call carries
+        # the post-update values (resume must not re-trigger best saves)
+        new_best = []
         if (
             mean_rollout_reward is not None
             and mean_rollout_reward > self.best["rollout_reward"]
         ):
             self.best["rollout_reward"] = mean_rollout_reward
-            written["rollout_reward"] = save_checkpoint(
-                self._path(BEST_SUFFIXES["rollout_reward"]), state, metadata
-            )
+            new_best.append("rollout_reward")
         if (
             mean_episode_return is not None
             and mean_episode_return > self.best["episode_return"]
         ):
             self.best["episode_return"] = mean_episode_return
-            written["episode_return"] = save_checkpoint(
-                self._path(BEST_SUFFIXES["episode_return"]), state, metadata
-            )
+            new_best.append("episode_return")
         if ssl_loss is not None and ssl_loss < self.best["ssl_loss"]:
             self.best["ssl_loss"] = ssl_loss
-            written["ssl_loss"] = save_checkpoint(
-                self._path(BEST_SUFFIXES["ssl_loss"]), state, metadata
+            new_best.append("ssl_loss")
+
+        metadata = dict(metadata)
+        metadata["best_metrics"] = {
+            k: (v if np.isfinite(v) else None) for k, v in self.best.items()
+        }
+        if global_update % self.save_every == 0:
+            written["scheduled"] = save_checkpoint(self._path(), state, metadata)
+        for kind in new_best:
+            written[kind] = save_checkpoint(
+                self._path(BEST_SUFFIXES[kind]), state, metadata
             )
         return written

@@ -1,0 +1,131 @@
+"""Long-horizon reward-free exploration A/B on the DFS-maze device env.
+
+The headline capability claim of the reference (README.md:41-58): RND
+intrinsic rewards drive exploration beyond a random-walk baseline. Round-1
+evidence was a torus A/B (random-walk-friendly, weak) and an inconclusive
+14-update maze run; this script runs the queued long-horizon version:
+
+  arm "rnd":  TrainMethod=original_RND, ExtCoef=0, IntCoef=1 (pure intrinsic)
+  arm "ppo":  TrainMethod=PPO, ExtCoef=0 (zero advantage -> entropy keeps the
+              policy near-uniform: the learned-random-walk control)
+
+Both arms: 32 envs on per-env 8x8 DFS spanning-tree mazes (64 rooms, walls
+block all non-corridor moves, no torus wrap), 128-step episodes, flagship
+dual-token ViT (dim 256 / depth 3 / heads 8 / patch 6). Metric: mean rooms
+visited per finished episode. Per-update JSONL curves go to
+logs/maze_ab/<arm>.jsonl.
+
+Usage: python scripts/maze_ab.py --arm rnd --updates 300
+       python scripts/maze_ab.py --arm ppo --updates 300
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from eavit_tpu.config import Config, TrainMethod
+from eavit_tpu.envs.device_env import make_device_env
+from eavit_tpu.rl.agent import RNDAgent
+from eavit_tpu.rl.scan_rollout import ScanRolloutCollector
+from eavit_tpu.train import setup_jax
+
+
+def make_cfg(arm: str, seed: int) -> Config:
+    return Config(
+        train_method=(
+            TrainMethod.ORIGINAL_RND if arm == "rnd" else TrainMethod.PPO
+        ),
+        ext_coef=0.0,
+        int_coef=1.0,
+        num_env_per_process=32,
+        num_step=128,
+        max_step_per_episode=128,
+        synthetic_grid=8,
+        synthetic_maze=True,
+        seed=seed,
+        obs_norm_step=50,
+        total_updates=-1,
+    )
+
+
+def run(arm: str, updates: int, seed: int, out_dir: str) -> None:
+    cfg = make_cfg(arm, seed)
+    setup_jax(cfg)
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, f"{arm}_seed{seed}.jsonl")
+
+    env_params, env_state = make_device_env(
+        cfg.num_env_per_process,
+        seed=cfg.seed,
+        grid=cfg.synthetic_grid,
+        stack=cfg.state_stack_size,
+        height=cfg.pre_proc_height,
+        width=cfg.pre_proc_width,
+        max_episode_steps=cfg.max_step_per_episode,
+        maze=cfg.synthetic_maze,
+    )
+    agent = RNDAgent(cfg, 5)
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, k = jax.random.split(rng)
+    state = agent.init_state(k)
+    collector = ScanRolloutCollector(cfg, agent, env_params)
+
+    if agent.use_rnd:
+        for _ in range(cfg.obs_norm_step):
+            rng, k = jax.random.split(rng)
+            ro, env_state, _ = collector.collect(state.params, env_state, k)
+            flat = jnp.reshape(ro.next_obs, (-1,) + ro.next_obs.shape[2:])
+            state = agent.update_obs_rms(state, flat)
+        print(f"[{arm}] obs-rms warm-up done ({cfg.obs_norm_step} rollouts)")
+
+    with open(out_path, "a") as f:
+        t_start = time.time()
+        for update in range(1, updates + 1):
+            rng, k1, k2 = jax.random.split(rng, 3)
+            rollout, env_state, env_metrics = collector.collect(
+                state.params, env_state, k1
+            )
+            state, metrics = agent.update(state, rollout, k2)
+            rooms = float(env_metrics["data/mean_number_of_visited_rooms"])
+            row = {
+                "arm": arm,
+                "seed": seed,
+                "update": update,
+                "rooms_per_episode": rooms,
+                "episodes": float(env_metrics["data/num_episodes"]),
+                "return": float(
+                    env_metrics["data/mean_undiscounted_episode_return"]
+                ),
+                "int_reward": float(
+                    metrics.get("data/int_reward_per_rollout", 0.0)
+                ),
+                "entropy": float(metrics["train/entropy"]),
+                "elapsed_s": round(time.time() - t_start, 1),
+            }
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+            if update % 10 == 0 or update == 1:
+                print(
+                    f"[{arm}] update {update}/{updates} rooms/ep {rooms:.1f} "
+                    f"entropy {row['entropy']:.3f} ({row['elapsed_s']:.0f}s)",
+                    flush=True,
+                )
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--arm", choices=["rnd", "ppo"], required=True)
+    p.add_argument("--updates", type=int, default=300)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out_dir", type=str, default="logs/maze_ab")
+    a = p.parse_args()
+    run(a.arm, a.updates, a.seed, a.out_dir)

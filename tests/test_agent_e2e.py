@@ -62,7 +62,8 @@ def test_original_rnd_e2e():
     agent, state, metrics, collector = run_updates(cfg)
 
     assert int(state.global_update) == 2
-    assert int(state.global_step) == 2 * cfg.num_step * cfg.num_env_per_process
+    from eavit_tpu.rl.agent import global_step_value
+    assert global_step_value(state) == 2 * cfg.num_step * cfg.num_env_per_process
     for m in metrics:
         for k, v in m.items():
             assert np.isfinite(v), f"{k} not finite: {v}"
@@ -141,3 +142,25 @@ def test_first_epoch_ratio_is_one():
     # 1; later minibatches in the same epoch already saw updates, so the
     # epoch-mean KL is small but nonzero.
     assert abs(float(metrics["train/approx_kl"])) < 0.05
+
+
+def test_global_step_pair_no_overflow():
+    """[hi, lo] base-2**30 counter survives past int32 range."""
+    from eavit_tpu.rl.agent import GLOBAL_STEP_BASE, _step_add, global_step_value
+
+    class S:
+        pass
+
+    hi_lo = jnp.asarray([0, GLOBAL_STEP_BASE - 5], jnp.int32)
+    hi_lo = _step_add(hi_lo, 8192)
+    s = S()
+    s.global_step = hi_lo
+    assert global_step_value(s) == GLOBAL_STEP_BASE - 5 + 8192
+    # march far past 2**31 frames
+    for _ in range(4):
+        hi_lo = _step_add(hi_lo, GLOBAL_STEP_BASE - 1)
+    s.global_step = hi_lo
+    assert global_step_value(s) == GLOBAL_STEP_BASE - 5 + 8192 + 4 * (
+        GLOBAL_STEP_BASE - 1
+    )
+    assert global_step_value(s) > 2**31

@@ -99,3 +99,21 @@ def test_cli_tolerates_unknown_flags():
 def test_print_config_options():
     text = print_config_options()
     assert "TrainMethod" in text and "UpdateProportion" in text
+
+
+def test_new_round2_keys(tmp_path):
+    conf = tmp_path / "t.conf"
+    conf.write_text(
+        "[DEFAULT]\nSyntheticMaze = True\nSSLEpochs = 7\nEvalEpisodes = 3\n"
+    )
+    cfg = load_config(str(conf))
+    assert cfg.synthetic_maze is True
+    assert cfg.ssl_pretrain_epochs == 7
+    assert cfg.eval_episodes == 3
+
+
+def test_cli_ssl_epochs_and_num_episodes():
+    args = get_args(["--train", "--ssl_epochs", "5", "--num_episodes", "2"])
+    cfg = config_from_args(args)
+    assert cfg.ssl_pretrain_epochs == 5
+    assert cfg.eval_episodes == 2

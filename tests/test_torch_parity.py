@@ -44,7 +44,9 @@ def test_normal_matches_torch():
 
     m = torch.distributions.Normal(torch.tensor(mu), torch.tensor(std))
     lp_t = m.log_prob(torch.tensor(actions)).sum(-1).numpy()
-    ent_t = m.entropy().sum(-1).numpy()  # per-sample sum over dims
+    # reference entropy bonus is m.entropy().mean() (agents.py:462),
+    # i.e. the per-sample entropy is the MEAN over action dims
+    ent_t = m.entropy().mean(-1).numpy()
 
     lp_j = np.asarray(
         normal_log_prob(jnp.asarray(mu), jnp.asarray(std), jnp.asarray(actions))
