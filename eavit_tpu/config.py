@@ -190,6 +190,11 @@ class Config:
     # small-sequence regime. Default to the faster path; flip for larger
     # patch grids / images where the kernel's no-HBM-scores advantage grows.
     use_pallas_attention: bool = False
+    # Fused dual-query shared-KV mode (SURVEY §5): one masked sequence
+    # [tok_explore, tok_exploit, patches] instead of a 2B token-stream stack —
+    # halves encoder FLOPs; patches become a token-independent shared trunk
+    # (CaiT-class-attention-style semantic variant, params identical).
+    shared_patch_stream: bool = False
     compute_dtype: str = "bfloat16"  # matmul/activation dtype on TPU
     # PRNG generator: "rbg" is much faster than threefry for the dropout /
     # noisy-net / RND-mask bits drawn inside every minibatch step (measured
@@ -336,6 +341,7 @@ _KEYMAP: Dict[str, Tuple[Tuple[str, ...], Any]] = {
     "MaxGradNorm": (("max_grad_norm",), float),
     # TPU-native keys (absent in reference configs; loadable from new configs)
     "UsePallasAttention": (("use_pallas_attention",), _as_bool),
+    "SharedPatchStream": (("shared_patch_stream",), _as_bool),
     "ComputeDtype": (("compute_dtype",), str),
     "PrngImpl": (("prng_impl",), str),
     "DataAxisSize": (("data_axis_size",), int),

@@ -61,6 +61,7 @@ def build_backbone(cfg: Config, *, attention_impl: Optional[str] = None) -> nn.M
             image_size=cfg.pre_proc_height,
             channels=cfg.state_stack_size,
             attention_impl=impl,
+            shared_patch_stream=cfg.shared_patch_stream,
             dtype=dtype,
             name="feature",
         )
@@ -69,6 +70,7 @@ def build_backbone(cfg: Config, *, attention_impl: Optional[str] = None) -> nn.M
         image_size=cfg.vit_hg.image_size or cfg.pre_proc_height,
         channels=cfg.vit_hg.num_channels or cfg.state_stack_size,
         attention_impl=impl,
+        shared_patch_stream=cfg.shared_patch_stream,
         dtype=dtype,
         name="feature",
     )

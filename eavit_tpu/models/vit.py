@@ -72,6 +72,7 @@ class MultiHeadAttention(nn.Module):
     pre_norm: bool = True
     norm_eps: float = 1e-5
     attention_impl: str = "xla"
+    num_special: int = 0  # dual-query shared-KV mask (ops/attention.py)
     dtype: Any = None
 
     @nn.compact
@@ -93,7 +94,8 @@ class MultiHeadAttention(nn.Module):
             return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
         out = mha(
-            heads_split(q), heads_split(k), heads_split(v), impl=self.attention_impl
+            heads_split(q), heads_split(k), heads_split(v),
+            impl=self.attention_impl, num_special=self.num_special,
         )
         # attention-prob dropout (reference vit.py:68) is folded away when 0;
         # for nonzero rates apply dropout on the output as the flash kernel
@@ -161,6 +163,7 @@ class Transformer(nn.Module):
     norm_eps: float = 1e-5
     final_norm: bool = True
     attention_impl: str = "xla"
+    num_special: int = 0  # dual-query shared-KV mask (ops/attention.py)
     dtype: Any = None
 
     @nn.compact
@@ -174,6 +177,7 @@ class Transformer(nn.Module):
                 qkv_bias=self.qkv_bias,
                 norm_eps=self.norm_eps,
                 attention_impl=self.attention_impl,
+                num_special=self.num_special,
                 dtype=self.dtype,
                 name=f"attn_{i}",
             )(x, deterministic)
@@ -191,12 +195,22 @@ class Transformer(nn.Module):
 
 
 class DualTokenViT(nn.Module):
-    """Lucidrains-flavor dual-token ViT (reference vit.py:93-167)."""
+    """Lucidrains-flavor dual-token ViT (reference vit.py:93-167).
+
+    ``shared_patch_stream`` selects the TPU-native fused dual-query mode
+    (SURVEY §5): ONE sequence ``[tok_explore, tok_exploit, patches]`` with a
+    static mask — patches attend only to patches (a token-independent shared
+    perception trunk, CaiT-class-attention style), each token reads itself +
+    the patches and never the other token. Halves encoder FLOPs vs the exact
+    stacked mode at the cost of removing token->patch feedback (documented
+    semantic variant; parameters are IDENTICAL and checkpoints transfer).
+    """
 
     cfg: ViTConfig
     image_size: int
     channels: int
     attention_impl: str = "xla"
+    shared_patch_stream: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -239,6 +253,7 @@ class DualTokenViT(nn.Module):
             seq = jnp.concatenate([tok, x], axis=1)
             return seq + pos[:, : n + 1].astype(x.dtype)
 
+        fused = self.shared_patch_stream and c.use_explorative_attn
         transformer = Transformer(
             dim=c.dim,
             depth=c.depth,
@@ -247,6 +262,7 @@ class DualTokenViT(nn.Module):
             mlp_dim=c.mlp_dim,
             dropout=c.dropout,
             attention_impl=self.attention_impl,
+            num_special=2 if fused else 0,
             dtype=self.dtype,
             name="transformer",
         )
@@ -259,6 +275,23 @@ class DualTokenViT(nn.Module):
             tok_exploit = self.param(
                 "exploitation_token", nn.initializers.normal(1.0), (1, 1, c.dim)
             )
+            if fused:
+                # ONE sequence [tok_a, tok_b, patches]: dual-query shared-KV.
+                # Both tokens take position 0 (each is "token 0" of its
+                # virtual stream); patches keep positions 1..n.
+                toks = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(tok_explore.astype(x.dtype), (b, 1, c.dim)),
+                        jnp.broadcast_to(tok_exploit.astype(x.dtype), (b, 1, c.dim)),
+                    ],
+                    axis=1,
+                ) + pos[:, :1].astype(x.dtype)
+                seq = jnp.concatenate(
+                    [toks, x + pos[:, 1 : n + 1].astype(x.dtype)], axis=1
+                )  # [B, n+2, dim]
+                seq = emb_drop(seq, deterministic=deterministic)
+                out = transformer(seq, deterministic).astype(jnp.float32)
+                return out[:, 0], out[:, 1]
             # Stack the two token-variants along batch: one encoder pass.
             seq = jnp.concatenate(
                 [with_token(tok_explore), with_token(tok_exploit)], axis=0
@@ -289,6 +322,7 @@ class DualTokenViTHG(nn.Module):
     image_size: int
     channels: int
     attention_impl: str = "xla"
+    shared_patch_stream: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -322,6 +356,7 @@ class DualTokenViTHG(nn.Module):
             seq = jnp.concatenate([tok, x], axis=1)
             return seq + pos.astype(x.dtype)
 
+        fused = self.shared_patch_stream and c.use_explorative_attn
         transformer = Transformer(
             dim=c.hidden_size,
             depth=c.num_hidden_layers,
@@ -332,6 +367,7 @@ class DualTokenViTHG(nn.Module):
             qkv_bias=c.qkv_bias,
             norm_eps=c.layer_norm_eps,
             attention_impl=self.attention_impl,
+            num_special=2 if fused else 0,
             dtype=self.dtype,
             name="encoder",
         )
@@ -344,6 +380,25 @@ class DualTokenViTHG(nn.Module):
             tok_exploit = self.param(
                 "exploitation_token", tn_init, (1, 1, c.hidden_size)
             )
+            if fused:
+                # dual-query shared-KV single pass (see DualTokenViT)
+                toks = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(
+                            tok_explore.astype(x.dtype), (b, 1, c.hidden_size)
+                        ),
+                        jnp.broadcast_to(
+                            tok_exploit.astype(x.dtype), (b, 1, c.hidden_size)
+                        ),
+                    ],
+                    axis=1,
+                ) + pos[:, :1].astype(x.dtype)
+                seq = jnp.concatenate(
+                    [toks, x + pos[:, 1:].astype(x.dtype)], axis=1
+                )
+                seq = emb_drop(seq, deterministic=deterministic)
+                out = transformer(seq, deterministic).astype(jnp.float32)
+                return out[:, 0], out[:, 1]
             seq = jnp.concatenate(
                 [with_token(tok_explore), with_token(tok_exploit)], axis=0
             )

@@ -12,6 +12,23 @@ Two implementations behind one interface:
 - ``pallas``: a fused flash-attention kernel (`eavit_tpu.ops.flash`) that
   keeps the whole softmax(QK^T)V in VMEM with no [B, h, N, N] HBM
   materialization; selectable via ``Config.use_pallas_attention``.
+
+Dual-query shared-KV mode (``num_special > 0``, SURVEY.md §5): the sequence
+is laid out as ``[special tokens..., patches...]`` and a static mask
+restricts attention so that
+
+- patch rows attend ONLY to patch columns (the shared perception trunk is
+  token-independent),
+- special-token row ``i`` attends to itself and all patches — NOT to the
+  other special tokens.
+
+With two special tokens this computes the exploration-query and the
+exploitation-query attention over SHARED patch K/V in a single pass: both
+streams cost ``B x (N+2)`` rows instead of the exact stacked mode's
+``2B x (N+1)`` — half the attention, qkv, and MLP work of the whole
+encoder. (Each token's stream is what a separate ``[token_i, patches]``
+sequence would compute under the same patches-don't-read-the-token rule;
+see tests/test_dual_query.py for the equivalence oracle.)
 """
 
 from __future__ import annotations
@@ -21,6 +38,18 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def dual_query_allowed(n_rows: int, n_cols: int, num_special: int) -> jnp.ndarray:
+    """[n_rows, n_cols] bool mask of allowed attention edges (see module doc)."""
+    r = jnp.arange(n_rows)[:, None]
+    c = jnp.arange(n_cols)[None, :]
+    s = num_special
+    patch_patch = (r >= s) & (c >= s)
+    token_rows = (r < s) & ((c == r) | (c >= s))
+    return patch_patch | token_rows
+
 
 def mha(
     q: jnp.ndarray,  # [B, H, N, Dh]
@@ -28,19 +57,26 @@ def mha(
     v: jnp.ndarray,  # [B, H, N, Dh]
     scale: Optional[float] = None,
     impl: str = "xla",
+    num_special: int = 0,
 ) -> jnp.ndarray:
-    """Softmax attention ``softmax(q k^T * scale) v`` -> [B, H, N, Dh]."""
+    """Softmax attention ``softmax(q k^T * scale) v`` -> [B, H, N, Dh].
+
+    ``num_special > 0`` applies the dual-query shared-KV mask (module doc).
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "pallas":
         from eavit_tpu.ops.flash import flash_attention
 
-        return flash_attention(q, k, v, scale=scale)
+        return flash_attention(q, k, v, scale=scale, num_special=num_special)
     if impl != "xla":
         raise ValueError(f"unknown attention impl: {impl!r}")
 
     dots = jnp.einsum(
         "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
     ) * scale
+    if num_special:
+        allowed = dual_query_allowed(q.shape[2], k.shape[2], num_special)
+        dots = jnp.where(allowed, dots, _NEG_INF)
     attn = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
     return jnp.einsum("bhnm,bhmd->bhnd", attn, v)

@@ -56,7 +56,9 @@ def _batch_block(bh_heads: int, n_pad: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, n: int):
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, n: int, num_special: int
+):
     bb, h, n_pad, d = q_ref.shape
     # fold (BB, H) into ONE batch dim (Mosaic matmul supports a single one)
     q = q_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
@@ -69,6 +71,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, n: int):
 
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     s = jnp.where(col < n, s, -jnp.inf)
+    if num_special:
+        # dual-query shared-KV mask (ops/attention.py): patch rows attend
+        # only to patch cols; special row i attends to itself + patches
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        allowed = ((row >= num_special) & (col >= num_special)) | (
+            (row < num_special) & ((col == row) | (col >= num_special))
+        )
+        s = jnp.where(allowed, s, -jnp.inf)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -80,7 +90,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, n: int):
     lse_ref[...] = (m + jnp.log(l)).reshape(bb, h, n_pad, 1)
 
 
-def _fwd(q, k, v, scale: float):
+def _fwd(q, k, v, scale: float, num_special: int):
     b, h, n, d = q.shape
     n_pad = _pad_to(n, _LANE)
     bb = _batch_block(h, n_pad)
@@ -88,7 +98,9 @@ def _fwd(q, k, v, scale: float):
     pad = [(0, b_pad - b), (0, 0), (0, n_pad - n), (0, 0)]
     qp, kp, vp = (jnp.pad(t, pad) for t in (q, k, v))
 
-    kernel = functools.partial(_fwd_kernel, scale=scale, n=n)
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, n=n, num_special=num_special
+    )
     block = pl.BlockSpec(
         (bb, h, n_pad, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
@@ -116,7 +128,7 @@ def _fwd(q, k, v, scale: float):
 
 def _bwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
-    dq_ref, dk_ref, dv_ref, *, scale: float, n: int,
+    dq_ref, dk_ref, dv_ref, *, scale: float, n: int, num_special: int,
 ):
     bb, h, n_pad, d = q_ref.shape
     q = q_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
@@ -132,6 +144,11 @@ def _bwd_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n, s, -jnp.inf)
+    if num_special:
+        allowed = ((row >= num_special) & (col >= num_special)) | (
+            (row < num_special) & ((col == row) | (col >= num_special))
+        )
+        s = jnp.where(allowed, s, -jnp.inf)
     p = jnp.exp(s - lse)
     p = jnp.where((row < n) & (col < n), p, 0.0)
 
@@ -154,7 +171,7 @@ def _bwd_kernel(
     dv_ref[...] = dv.reshape(bb, h, n_pad, d).astype(dv_ref.dtype)
 
 
-def _bwd(scale: float, res, g):
+def _bwd(scale: float, num_special: int, res, g):
     q, k, v, o, lse = res
     do = g
     b, h, n, d = q.shape
@@ -165,7 +182,9 @@ def _bwd(scale: float, res, g):
     qp, kp, vp, op, dop = (jnp.pad(t, pad) for t in (q, k, v, o, do))
     lsep = jnp.pad(lse, [(0, b_pad - b), (0, 0), (0, n_pad - n)])[..., None]
 
-    kernel = functools.partial(_bwd_kernel, scale=scale, n=n)
+    kernel = functools.partial(
+        _bwd_kernel, scale=scale, n=n, num_special=num_special
+    )
     block = pl.BlockSpec(
         (bb, h, n_pad, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
@@ -192,14 +211,14 @@ def _bwd(scale: float, res, g):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash(q, k, v, scale: float):
-    o, _ = _fwd(q, k, v, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, scale: float, num_special: int):
+    o, _ = _fwd(q, k, v, scale, num_special)
     return o
 
 
-def _flash_fwd(q, k, v, scale: float):
-    o, lse = _fwd(q, k, v, scale)
+def _flash_fwd(q, k, v, scale: float, num_special: int):
+    o, lse = _fwd(q, k, v, scale, num_special)
     return o, (q, k, v, o, lse)
 
 
@@ -211,8 +230,15 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float | None = None,
+    num_special: int = 0,
 ) -> jnp.ndarray:
-    """Fused softmax(q k^T * scale) v with flash backward. [B, H, N, D]."""
+    """Fused softmax(q k^T * scale) v with flash backward. [B, H, N, D].
+
+    ``num_special > 0`` applies the dual-query shared-KV mask in-kernel
+    (ops/attention.py module doc): one pass computes every special-token
+    query against the shared patch K/V — the SURVEY §5 fused dual-query
+    attention.
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _flash(q, k, v, float(scale)).astype(v.dtype)
+    return _flash(q, k, v, float(scale), int(num_special)).astype(v.dtype)

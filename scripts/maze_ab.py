@@ -9,11 +9,19 @@ evidence was a torus A/B (random-walk-friendly, weak) and an inconclusive
   arm "ppo":  TrainMethod=PPO, ExtCoef=0 (zero advantage -> entropy keeps the
               policy near-uniform: the learned-random-walk control)
 
-Both arms: 32 envs on per-env 8x8 DFS spanning-tree mazes (64 rooms, walls
-block all non-corridor moves, no torus wrap), 128-step episodes, flagship
-dual-token ViT (dim 256 / depth 3 / heads 8 / patch 6). Metric: mean rooms
-visited per finished episode. Per-update JSONL curves go to
+Both arms: 32 envs on per-env 16x16 DFS spanning-tree mazes (256 rooms,
+walls block all non-corridor moves, no torus wrap), 512-step episodes,
+flagship dual-token ViT (dim 256 / depth 3 / heads 8 / patch 6). Metric:
+mean rooms visited per finished episode. Per-update JSONL curves go to
 logs/maze_ab/<arm>.jsonl.
+
+Env-size rationale (measured, first attempt 2026-08-16): an 8x8 grid has
+only 64 distinct frames per env, so the RND predictor memorizes the whole
+observation space within ~30 updates — raw novelty collapses ~1000x, the
+reward-RMS normalizer (whose count only grows) keeps dividing by the stale
+early scale, advantages fall to ~1e-5 and the actor never leaves the
+uniform policy. 256 rooms with 512-step episodes keeps frontier novelty
+alive for the full run.
 
 Usage: python scripts/maze_ab.py --arm rnd --updates 300
        python scripts/maze_ab.py --arm ppo --updates 300
@@ -48,8 +56,8 @@ def make_cfg(arm: str, seed: int) -> Config:
         int_coef=1.0,
         num_env_per_process=32,
         num_step=128,
-        max_step_per_episode=128,
-        synthetic_grid=8,
+        max_step_per_episode=512,
+        synthetic_grid=16,
         synthetic_maze=True,
         seed=seed,
         obs_norm_step=50,
