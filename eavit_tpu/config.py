@@ -202,7 +202,10 @@ class Config:
     # streams differ (SURVEY.md: reproduce distributions, not streams).
     prng_impl: str = "rbg"
     data_axis_size: int = 1  # data-parallel mesh size (devices)
-    async_env_pool: bool = True  # overlap env stepping with device compute
+    # ThreadVectorEnv workers (envs step concurrently with each other) PLUS
+    # half-fleet double-buffered rollouts: the host steps one half's envs
+    # while the device acts on the other half (rl/device_rollout.py)
+    async_env_pool: bool = True
     total_updates: int = -1  # -1 = run forever (reference train.py:580)
     synthetic_grid: int = 8  # room-grid side length of the synthetic env
     # DFS spanning-tree maze walls for the synthetic/device env (hard-

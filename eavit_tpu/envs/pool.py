@@ -56,8 +56,13 @@ class SyncVectorEnv:
         return np.stack([e.reset()[0] for e in self.envs])
 
     def step(self, actions: np.ndarray):
+        return self.step_slice(0, self.num_envs, actions)
+
+    def step_slice(self, lo: int, hi: int, actions: np.ndarray):
+        """Step only envs [lo, hi) (double-buffered rollout pipelining:
+        the host steps one half-fleet while the device acts on the other)."""
         states, rewards, dones, truns, infos = [], [], [], [], []
-        for env, a in zip(self.envs, actions):
+        for env, a in zip(self.envs[lo:hi], actions):
             s, r, d, t, info = env.step(a)
             if d or t:
                 s, _ = env.reset()
@@ -162,16 +167,22 @@ class ThreadVectorEnv:
         return np.stack([r[0] for r in self._results])
 
     def step(self, actions: np.ndarray):
-        for q, a in zip(self._in, actions):
+        return self.step_slice(0, self.num_envs, actions)
+
+    def step_slice(self, lo: int, hi: int, actions: np.ndarray):
+        """Step only envs [lo, hi). At most one slice may be in flight at a
+        time (the pipelined collector alternates halves from one thread)."""
+        for q, a in zip(self._in[lo:hi], actions):
             q.put(a)
-        for _ in range(self.num_envs):
+        for _ in range(hi - lo):
             self._done.get()
         self._raise_worker_errors()
-        states = np.stack([r[0] for r in self._results])
-        rewards = np.asarray([r[1] for r in self._results], np.float32)
-        dones = np.asarray([r[2] for r in self._results], np.bool_)
-        truns = np.asarray([r[3] for r in self._results], np.bool_)
-        infos = [r[4] for r in self._results]
+        res = self._results[lo:hi]
+        states = np.stack([r[0] for r in res])
+        rewards = np.asarray([r[1] for r in res], np.float32)
+        dones = np.asarray([r[2] for r in res], np.bool_)
+        truns = np.asarray([r[3] for r in res], np.bool_)
+        infos = [r[4] for r in res]
         return states, rewards, dones, truns, infos
 
     sample_random_actions = SyncVectorEnv.sample_random_actions

@@ -155,8 +155,12 @@ class SyntheticVectorEnv:
         return np.stack([e.reset()[0] for e in self.envs])
 
     def step(self, actions: np.ndarray):
+        return self.step_slice(0, self.num_envs, actions)
+
+    def step_slice(self, lo: int, hi: int, actions: np.ndarray):
+        """Step only envs [lo, hi) (rollout pipelining support)."""
         states, rewards, dones, truns, infos = [], [], [], [], []
-        for env, a in zip(self.envs, actions):
+        for env, a in zip(self.envs[lo:hi], actions):
             s, r, d, t, info = env.step(int(a))
             if d or t:
                 s, _ = env.reset()

@@ -55,10 +55,22 @@ class DeviceRolloutCollector:
         self._pixel_rnd = cfg.train_method == TrainMethod.ORIGINAL_RND
         self._discrete = agent.action_space == ActionSpaceType.DISCRETE
         self._buf: Optional[DeviceBuffers] = None
+        self._half_bufs: Optional[list] = None
 
         # a DataParallelAgent carries a mesh: shard the act/step program over
         # the env axis so rollouts use every chip, not just device 0
         self.mesh = getattr(agent, "mesh", None)
+        # double-buffered half-fleet pipelining (SURVEY §7 hard-part #1):
+        # dispatch the device act for one half, host-step the other half's
+        # envs while the TPU computes — JAX async dispatch provides the
+        # overlap, no threads. Single-chip, no-renderer path only.
+        self._pipelined = (
+            cfg.async_env_pool
+            and self.mesh is None
+            and renderer is None
+            and hasattr(env, "step_slice")
+            and cfg.num_env_per_process % 2 == 0
+        )
         if self.mesh is None:
             self._step = jax.jit(
                 self._step_impl,
@@ -128,7 +140,9 @@ class DeviceRolloutCollector:
         )
         self._reseed = jax.jit(sm_reseed, donate_argnums=(0,))
 
-    def init_buffers(self, initial_states: np.ndarray, rng: jax.Array) -> None:
+    def _make_buffers(
+        self, initial_states: np.ndarray, rng: jax.Array
+    ) -> DeviceBuffers:
         cfg = self.cfg
         T = cfg.num_step
         N, C, H, W = initial_states.shape
@@ -140,7 +154,7 @@ class DeviceRolloutCollector:
         else:
             actions = jnp.zeros((T, N, A), jnp.float32)
             policy = jnp.zeros((T, N, 1), jnp.float32)
-        buf = DeviceBuffers(
+        return DeviceBuffers(
             base_key=rng,
             stack=jnp.asarray(initial_states),
             states=jnp.zeros((T, N, C, H, W), jnp.uint8),
@@ -152,6 +166,9 @@ class DeviceRolloutCollector:
             value_int=jnp.zeros((T + 1, N), jnp.float32),
             policy=policy,
         )
+
+    def init_buffers(self, initial_states: np.ndarray, rng: jax.Array) -> None:
+        buf = self._make_buffers(initial_states, rng)
         if self.mesh is not None:
             from jax.sharding import NamedSharding
 
@@ -242,6 +259,8 @@ class DeviceRolloutCollector:
         """One n-step rollout. ``states_u8`` is only used to (re)initialize
         the device stack on the first call; afterwards the device mirror is
         authoritative and stays in lock-step with the host pool."""
+        if self._pipelined:
+            return self._collect_pipelined(params, states_u8, rng)
         cfg = self.cfg
         T = cfg.num_step
         N = states_u8.shape[0]
@@ -305,6 +324,108 @@ class DeviceRolloutCollector:
             policy=b.policy,
         )
         return rollout, states_u8
+
+    # ------------------------------------------------------------------
+    def _collect_pipelined(
+        self, params: Any, states_u8: np.ndarray, rng: jax.Array
+    ) -> Tuple[Rollout, np.ndarray]:
+        """Half-fleet double-buffered rollout: while the device computes half
+        X's action, the host steps half Y's envs — the action a half acts on
+        is always fresh (no staleness), so the math is identical to the
+        serial path; only the wall-clock interleaving changes.
+
+        Timeline per step t (after the t=0 prologue)::
+
+            dispatch device A(t)   |  host: env.step_slice(B, act_B(t-1))
+            block on act_A(t)      |
+            dispatch device B(t)   |  host: env.step_slice(A, act_A(t))
+            block on act_B(t)      |
+        """
+        cfg = self.cfg
+        T = cfg.num_step
+        N = states_u8.shape[0]
+        h = N // 2
+        lo = [0, h]
+        if self._half_bufs is None:
+            self._half_bufs = [
+                self._make_buffers(
+                    states_u8[lo[i] : lo[i] + h], jax.random.fold_in(rng, i)
+                )
+                for i in (0, 1)
+            ]
+        else:
+            self._half_bufs = [
+                self._reseed(b, jax.random.fold_in(rng, i))
+                for i, b in enumerate(self._half_bufs)
+            ]
+
+        H, W = states_u8.shape[2], states_u8.shape[3]
+        zero_f = np.zeros((h, H, W), np.uint8)
+        zero_r = np.zeros(h, np.float32)
+        zero_b = np.zeros(h, np.bool_)
+        # per-half (frame, reward, done, reset) pending fold-ins
+        pend = [
+            [zero_f, zero_r, zero_b, zero_b],
+            [zero_f, zero_r, zero_b, zero_b],
+        ]
+        act_host = [None, None]  # actions awaiting env stepping
+
+        def dispatch(i, t, first, last):
+            f, r, d, rs = pend[i]
+            self._half_bufs[i], a = self._step(
+                params,
+                self._half_bufs[i],
+                jnp.asarray(f),
+                jnp.asarray(r),
+                jnp.asarray(d),
+                jnp.asarray(rs),
+                jnp.asarray(t, jnp.int32),
+                first=first,
+                last=last,
+            )
+            return a
+
+        def host_step(i):
+            if act_host[i] is None:
+                return
+            s, r, d, tr, infos = self.env.step_slice(
+                lo[i], lo[i] + h, act_host[i]
+            )
+            pend[i] = [s[:, -1], r.astype(np.float32), d, d | tr]
+            self._half_states[i] = s
+            for info in infos:
+                self.stats.add(info)
+            act_host[i] = None
+
+        self._half_states = [states_u8[:h], states_u8[h:]]
+        for t in range(T):
+            a_dev = dispatch(0, t, first=(t == 0), last=False)
+            host_step(1)  # overlaps device half-A compute
+            act_host[0] = np.asarray(a_dev)
+            a_dev = dispatch(1, t, first=(t == 0), last=False)
+            host_step(0)  # overlaps device half-B compute
+            act_host[1] = np.asarray(a_dev)
+
+        # epilogue: final env steps + bootstrap passes
+        host_step(0)
+        _ = dispatch(0, T, first=False, last=True)
+        host_step(1)
+        _ = dispatch(1, T, first=False, last=True)
+
+        bA, bB = self._half_bufs
+        cat = lambda a, b, ax: jnp.concatenate([a, b], axis=ax)
+        rollout = Rollout(
+            states=cat(bA.states, bB.states, 1),
+            actions=cat(bA.actions, bB.actions, 1),
+            rewards=cat(bA.rewards, bB.rewards, 1),
+            dones=cat(bA.dones, bB.dones, 1),
+            next_obs=cat(bA.next_obs, bB.next_obs, 1),
+            value_ext=cat(bA.value_ext, bB.value_ext, 1),
+            value_int=cat(bA.value_int, bB.value_int, 1),
+            policy=cat(bA.policy, bB.policy, 1),
+        )
+        states_out = np.concatenate(self._half_states, axis=0)
+        return rollout, states_out
 
     # reuse the host collector's warm-up implementation
     def warmup_obs_rms(self, state, states_u8, rng):

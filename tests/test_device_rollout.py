@@ -93,3 +93,79 @@ def test_device_rollout_feeds_update():
         state, metrics = agent.update(state, rollout, jax.random.PRNGKey(20 + u))
         assert np.isfinite(float(metrics["train/loss"]))
     assert int(state.global_update) == 2
+
+
+class RecordingSliceEnv:
+    """Wraps a vector env with step_slice, recording per-half states."""
+
+    def __init__(self, env):
+        self.env = env
+        self.num_envs = env.num_envs
+        self.action_space_n = env.action_space_n
+        self.rec = {}
+
+    def reset(self):
+        s = self.env.reset()
+        self.rec = {}
+        self._initial = s.copy()
+        return s
+
+    def step_slice(self, lo, hi, actions):
+        out = self.env.step_slice(lo, hi, actions)
+        self.rec.setdefault(lo, [self._initial[lo:hi].copy()]).append(
+            out[0].copy()
+        )
+        return out
+
+
+def test_pipelined_rollout_matches_env_lockstep():
+    """Half-fleet pipelined rollout: device stacks stay lock-step with the
+    env per half, including mid-rollout resets."""
+    cfg = tiny_cfg().replace(num_env_per_process=4, async_env_pool=True)
+    env = RecordingSliceEnv(
+        SyntheticVectorEnv(cfg.num_env_per_process, seed=7, max_episode_steps=4)
+    )
+    agent = RNDAgent(cfg, env.action_space_n)
+    state = agent.init_state(jax.random.PRNGKey(0))
+    collector = DeviceRolloutCollector(cfg, agent, env)
+    assert collector._pipelined
+
+    states = env.reset()
+    rollout, final_states = collector.collect(
+        state.params, states, jax.random.PRNGKey(1)
+    )
+    dev_states = np.asarray(rollout.states)  # [T, N, C, H, W]
+    dev_next = np.asarray(rollout.next_obs)
+    h = cfg.num_env_per_process // 2
+    for lo in (0, h):
+        recorded = env.rec[lo]
+        for t in range(cfg.num_step):
+            np.testing.assert_array_equal(
+                dev_states[t, lo : lo + h],
+                recorded[t],
+                err_msg=f"half {lo} diverged at step {t}",
+            )
+            np.testing.assert_array_equal(
+                dev_next[t, lo : lo + h][:, 0], recorded[t + 1][:, -1]
+            )
+    assert np.array_equal(
+        final_states, np.concatenate([env.rec[0][-1], env.rec[h][-1]])
+    )
+    assert collector.stats.num_episodes > 0
+
+
+def test_pipelined_rollout_feeds_update():
+    cfg = tiny_cfg().replace(num_env_per_process=4, async_env_pool=True)
+    env = SyntheticVectorEnv(cfg.num_env_per_process, seed=3, max_episode_steps=6)
+    agent = RNDAgent(cfg, env.action_space_n)
+    state = agent.init_state(jax.random.PRNGKey(0))
+    collector = DeviceRolloutCollector(cfg, agent, env)
+    assert collector._pipelined
+    states = env.reset()
+    for u in range(2):
+        rollout, states = collector.collect(
+            state.params, states, jax.random.PRNGKey(10 + u)
+        )
+        state, metrics = agent.update(state, rollout, jax.random.PRNGKey(20 + u))
+        assert np.isfinite(float(metrics["train/loss"]))
+    assert int(state.global_update) == 2
