@@ -22,14 +22,17 @@ Prints ONE JSON line:
   {"metric": ..., "value": fps_optimized, "unit": "frames/s",
    "vs_baseline": fps_optimized / fps_naive}
 
-The naive baseline takes ~131s/update on the tunneled chip (measured
-2026-08-16: 37s host rollout + 94s per-minibatch-dispatch update), so by
-default vs_baseline uses that recorded measurement; set BENCH_FULL=1 to
-re-measure it live (needs ~15 min).
+The naive baseline is re-measured LIVE on every run (1 warm-up + 1 timed
+update, ~4 min on the tunneled chip at ~131s/update) so vs_baseline is a
+real same-chip A/B each round. Set BENCH_FAST=1 to skip the naive
+re-measurement and divide by the recorded 62.5 fps instead.
 
-Env knobs: BENCH_UPDATES (timed updates, default 3), BENCH_NUM_ENVS,
-BENCH_NUM_STEP, BENCH_FULL=1 (live naive re-measurement),
-BENCH_NAIVE_FPS (override the recorded baseline).
+Env knobs: BENCH_UPDATES (timed optimized updates, default 3),
+BENCH_NAIVE_UPDATES (timed naive updates, default 1), BENCH_NUM_ENVS,
+BENCH_NUM_STEP, BENCH_FAST=1 (recorded baseline, no live naive),
+BENCH_NAIVE_FPS (override the baseline), BENCH_DEVICE_ENV=1 (zero-host
+scan-rollout pipeline), BENCH_SHARED=1 (fused dual-query shared-KV
+backbone, SharedPatchStream).
 """
 
 from __future__ import annotations
@@ -53,6 +56,7 @@ from eavit_tpu.rl.rollout import RolloutCollector  # noqa: E402
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 64))
 NUM_STEP = int(os.environ.get("BENCH_NUM_STEP", 128))
 UPDATES = int(os.environ.get("BENCH_UPDATES", 3))
+NAIVE_UPDATES = int(os.environ.get("BENCH_NAIVE_UPDATES", 1))
 
 
 def flagship_cfg(**kw) -> Config:
@@ -64,6 +68,7 @@ def flagship_cfg(**kw) -> Config:
         mini_batch=32,
         obs_norm_step=0,  # warm-up excluded from throughput measurement
         max_step_per_episode=4500,
+        shared_patch_stream=os.environ.get("BENCH_SHARED") == "1",
     )
     base.update(kw)
     return Config(**base)
@@ -111,13 +116,14 @@ def run_pipeline(cfg: Config, naive: bool) -> float:
     rng, k = jax.random.split(rng)
     state, states = one_update(state, states, k)
 
+    n_timed = NAIVE_UPDATES if naive else UPDATES
     frames = cfg.num_step * cfg.num_env_per_process
     t0 = time.perf_counter()
-    for _ in range(UPDATES):
+    for _ in range(n_timed):
         rng, k = jax.random.split(rng)
         state, states = one_update(state, states, k)
     dt = time.perf_counter() - t0
-    return frames * UPDATES / dt
+    return frames * n_timed / dt
 
 
 # ---------------------------------------------------------------------------
@@ -320,14 +326,17 @@ def main() -> None:
     fps_opt = run_pipeline(flagship_cfg(), naive=False)
     print(f"# optimized: {fps_opt:.1f} frames/s", file=sys.stderr)
 
-    if os.environ.get("BENCH_FULL") != "1":
+    if os.environ.get("BENCH_FAST") == "1":
         # recorded measurement of the reference-style pipeline on this chip
         # (see module docstring); flagship scale only
         default_naive = 62.5 if (NUM_ENVS, NUM_STEP) == (64, 128) else 0.0
         fps_naive = float(os.environ.get("BENCH_NAIVE_FPS", default_naive)) or None
     else:
+        # live same-chip A/B every run (the recorded constant would age
+        # silently as the framework and the tunnel change)
         naive_cfg = flagship_cfg(
-            compute_dtype="float32", use_pallas_attention=False
+            compute_dtype="float32", use_pallas_attention=False,
+            shared_patch_stream=False,
         )
         fps_naive = run_pipeline(naive_cfg, naive=True)
         print(f"# naive(reference-style): {fps_naive:.1f} frames/s", file=sys.stderr)

@@ -479,18 +479,23 @@ class RNDAgent:
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)  # diff wrt params only
 
-        def gather(idx):
-            batch = {
-                "s": s_all[idx],
-                "y": y_all[idx],
-                "old_policy": old_policy_all[idx],
-                "adv": total_adv[idx],
-                "ext_target": ext_target[idx],
-            }
-            if self.use_rnd:
-                batch["int_target"] = int_target[idx]
-                batch["rnd_in"] = rnd_train_in[idx]
-            return batch
+        arrays = {
+            "s": s_all,
+            "y": y_all,
+            "old_policy": old_policy_all,
+            "adv": total_adv,
+            "ext_target": ext_target,
+        }
+        if self.use_rnd:
+            arrays["int_target"] = int_target
+            arrays["rnd_in"] = rnd_train_in
+
+        def gather(perm, x):
+            """Permute once, then lay out as [mini_batch, batch_size, ...]
+            so the minibatch scan consumes contiguous leading-axis slices."""
+            return x[perm].reshape(
+                (cfg.mini_batch, batch_size) + x.shape[1:]
+            )
 
         # under verbose logging the last minibatch's gradient pytree is
         # threaded through the scan carry and returned for histogram dumps
@@ -505,9 +510,9 @@ class RNDAgent:
 
         def minibatch_step(carry, xs):
             params, opt_state, ssl_target, _ = carry
-            idx, key = xs
+            batch, key = xs
             (_, aux), grads = grad_fn(
-                params, jax.lax.stop_gradient(ssl_target), gather(idx), key
+                params, jax.lax.stop_gradient(ssl_target), batch, key
             )
             if cfg.freeze_shared_backbone:
                 grads["policy"]["feature"] = jax.tree_util.tree_map(
@@ -525,12 +530,15 @@ class RNDAgent:
 
         def epoch_step(carry, key):
             k_perm, k_mb = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, num_samples)
-            idxs = perm[: cfg.mini_batch * batch_size].reshape(
-                cfg.mini_batch, batch_size
-            )
+            perm = jax.random.permutation(k_perm, num_samples)[
+                : cfg.mini_batch * batch_size
+            ]
+            # ONE permutation gather per epoch (instead of a dynamic gather
+            # per minibatch inside the scan): the scan body becomes pure
+            # compute over contiguous slices
+            batches = {k: gather(perm, v) for k, v in arrays.items()}
             keys = jax.random.split(k_mb, cfg.mini_batch)
-            carry, auxs = jax.lax.scan(minibatch_step, carry, (idxs, keys))
+            carry, auxs = jax.lax.scan(minibatch_step, carry, (batches, keys))
             return carry, jax.tree_util.tree_map(jnp.mean, auxs)
 
         epoch_keys = jax.random.split(rng, cfg.epoch)
