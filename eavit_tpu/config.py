@@ -211,6 +211,9 @@ class Config:
     # DFS spanning-tree maze walls for the synthetic/device env (hard-
     # exploration regime where random walks stall; envs/device_env.py)
     synthetic_maze: bool = False
+    # room-frame family: "sine" (smooth, host-env bit-exact) or "noise"
+    # (mutually unpredictable rooms — the Montezuma-like novelty regime)
+    synthetic_texture: str = "sine"
     # SSL pretraining epoch budget, independent of total_updates (-1 = run
     # forever, like the reference's while-True SSL loop, train.py:342)
     ssl_pretrain_epochs: int = -1
@@ -353,6 +356,7 @@ _KEYMAP: Dict[str, Tuple[Tuple[str, ...], Any]] = {
     "Seed": (("seed",), int),
     "SyntheticGrid": (("synthetic_grid",), int),
     "SyntheticMaze": (("synthetic_maze",), _as_bool),
+    "SyntheticTexture": (("synthetic_texture",), str),
     "SSLEpochs": (("ssl_pretrain_epochs",), int),
     "EvalEpisodes": (("eval_episodes",), int),
 }

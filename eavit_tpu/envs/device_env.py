@@ -82,27 +82,47 @@ def make_device_env(
     width: int = 84,
     max_episode_steps: int = 128,
     maze: bool = False,
+    texture: str = "sine",
 ) -> Tuple[DeviceEnvParams, DeviceEnvState]:
     """Build per-env room frames (host, once) and the initial device state.
 
     With ``maze=True`` movement is restricted to a DFS spanning-tree maze
     (per-env layout) and the torus wrap is disabled — a bottlenecked map
     where random walks stall.
+
+    ``texture`` picks the room-frame family:
+    - ``"sine"``: smooth 2-phase sinusoid per room (bit-exact pair of the
+      host SyntheticAtariEnv). A 3-parameter family — an RND predictor
+      GENERALIZES across rooms (measured ~100x frontier/visited error
+      ratio after memorizing 20 rooms).
+    - ``"noise"``: independent uniform-random texture per room — rooms are
+      mutually unpredictable, so unvisited rooms keep full novelty
+      (measured ~6000x frontier/visited ratio). The Montezuma-like regime
+      for exploration studies.
     """
     cells = np.empty((num_envs, grid, grid, height, width), np.uint8)
-    yy = np.linspace(0, 4 * np.pi, height)[:, None]
-    xx = np.linspace(0, 4 * np.pi, width)[None, :]
-    idx = np.arange(grid * grid).reshape(grid, grid)
-    for i in range(num_envs):
-        pat_rng = np.random.default_rng((seed + i) * 7919 + 13)
-        phase = pat_rng.uniform(0, 2 * np.pi, size=(grid, grid, 2))
-        c = 127.5 * (
-            1
-            + np.sin(yy[None, None] + phase[..., 0:1, None])
-            * np.cos(xx[None, None] + phase[..., 1:2, None])
-        )
-        c += 40.0 * (idx[..., None, None] / (grid * grid))
-        cells[i] = np.clip(c, 0, 255).astype(np.uint8)
+    if texture == "noise":
+        for i in range(num_envs):
+            pat_rng = np.random.default_rng((seed + i) * 7919 + 13)
+            cells[i] = pat_rng.integers(
+                0, 256, (grid, grid, height, width), dtype=np.uint8
+            )
+    elif texture == "sine":
+        yy = np.linspace(0, 4 * np.pi, height)[:, None]
+        xx = np.linspace(0, 4 * np.pi, width)[None, :]
+        idx = np.arange(grid * grid).reshape(grid, grid)
+        for i in range(num_envs):
+            pat_rng = np.random.default_rng((seed + i) * 7919 + 13)
+            phase = pat_rng.uniform(0, 2 * np.pi, size=(grid, grid, 2))
+            c = 127.5 * (
+                1
+                + np.sin(yy[None, None] + phase[..., 0:1, None])
+                * np.cos(xx[None, None] + phase[..., 1:2, None])
+            )
+            c += 40.0 * (idx[..., None, None] / (grid * grid))
+            cells[i] = np.clip(c, 0, 255).astype(np.uint8)
+    else:
+        raise ValueError(f"unknown texture: {texture!r}")
 
     if maze:
         walls = np.stack(

@@ -154,6 +154,7 @@ def _train_device_env(cfg: Config, logger: Logger,
         width=cfg.pre_proc_width,
         max_episode_steps=cfg.max_step_per_episode,
         maze=cfg.synthetic_maze,
+        texture=cfg.synthetic_texture,
     )
     agent = RNDAgent(cfg, 5)  # device env action set
     rng = jax.random.PRNGKey(cfg.seed)

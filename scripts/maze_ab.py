@@ -9,19 +9,24 @@ evidence was a torus A/B (random-walk-friendly, weak) and an inconclusive
   arm "ppo":  TrainMethod=PPO, ExtCoef=0 (zero advantage -> entropy keeps the
               policy near-uniform: the learned-random-walk control)
 
-Both arms: 32 envs on per-env 16x16 DFS spanning-tree mazes (256 rooms,
-walls block all non-corridor moves, no torus wrap), 512-step episodes,
-flagship dual-token ViT (dim 256 / depth 3 / heads 8 / patch 6). Metric:
-mean rooms visited per finished episode. Per-update JSONL curves go to
-logs/maze_ab/<arm>.jsonl.
+Both arms: 32 envs on per-env 12x12 DFS spanning-tree mazes (144 rooms,
+walls block all non-corridor moves, no torus wrap), noise-textured rooms,
+384-step episodes, flagship dual-token ViT (dim 256 / depth 3 / heads 8 /
+patch 6), lr 3e-4 (both arms identically). Metric: mean rooms visited per
+finished episode. Per-update JSONL curves go to logs/maze_ab/<arm>.jsonl.
 
-Env-size rationale (measured, first attempt 2026-08-16): an 8x8 grid has
-only 64 distinct frames per env, so the RND predictor memorizes the whole
-observation space within ~30 updates — raw novelty collapses ~1000x, the
-reward-RMS normalizer (whose count only grows) keeps dividing by the stale
-early scale, advantages fall to ~1e-5 and the actor never leaves the
-uniform policy. 256 rooms with 512-step episodes keeps frontier novelty
-alive for the full run.
+Env-design rationale (measured, attempts 1-2, 2026-08-16):
+
+- 8x8 grid: only 64 distinct frames per env — the RND predictor memorizes
+  the WHOLE observation space in ~30 updates; advantages fall to ~1e-5 and
+  the actor never leaves the uniform policy.
+- 16x16 sine-textured grid: rooms are a smooth 3-parameter sinusoid family,
+  so the predictor GENERALIZES to unseen rooms (~100x frontier/visited
+  error ratio after 20 rooms). Frontier novelty too weak at a 2.5M-frame
+  budget (the RND paper burns hundreds of millions of frames on Montezuma).
+- noise textures make rooms mutually unpredictable (~6000x frontier ratio,
+  measured by held-out probe); a 12x12 maze keeps the frontier within
+  random-excursion reach of 384-step episodes.
 
 Usage: python scripts/maze_ab.py --arm rnd --updates 300
        python scripts/maze_ab.py --arm ppo --updates 300
@@ -56,9 +61,10 @@ def make_cfg(arm: str, seed: int) -> Config:
         int_coef=1.0,
         num_env_per_process=32,
         num_step=128,
-        max_step_per_episode=512,
-        synthetic_grid=16,
+        max_step_per_episode=384,
+        synthetic_grid=12,
         synthetic_maze=True,
+        learning_rate=3e-4,
         seed=seed,
         obs_norm_step=50,
         total_updates=-1,
@@ -80,6 +86,7 @@ def run(arm: str, updates: int, seed: int, out_dir: str) -> None:
         width=cfg.pre_proc_width,
         max_episode_steps=cfg.max_step_per_episode,
         maze=cfg.synthetic_maze,
+        texture="noise",
     )
     agent = RNDAgent(cfg, 5)
     rng = jax.random.PRNGKey(cfg.seed)
