@@ -93,14 +93,26 @@ class MultiHeadAttention(nn.Module):
             b, n, _ = t.shape
             return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
-        out = mha(
-            heads_split(q), heads_split(k), heads_split(v),
-            impl=self.attention_impl, num_special=self.num_special,
-        )
-        # attention-prob dropout (reference vit.py:68) is folded away when 0;
-        # for nonzero rates apply dropout on the output as the flash kernel
-        # cannot drop individual probabilities (documented divergence).
-        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        if (
+            self.attention_impl == "xla"
+            and self.dropout > 0.0
+            and not deterministic
+        ):
+            # true attention-PROBABILITY dropout (reference vit.py:68)
+            out = mha(
+                heads_split(q), heads_split(k), heads_split(v),
+                impl="xla", num_special=self.num_special,
+                dropout_rate=self.dropout,
+                dropout_rng=self.make_rng("dropout"),
+            )
+        else:
+            out = mha(
+                heads_split(q), heads_split(k), heads_split(v),
+                impl=self.attention_impl, num_special=self.num_special,
+            )
+            # the flash kernel cannot drop individual probabilities: apply
+            # dropout on the attention OUTPUT instead (documented divergence)
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
 

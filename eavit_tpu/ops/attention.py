@@ -58,10 +58,16 @@ def mha(
     scale: Optional[float] = None,
     impl: str = "xla",
     num_special: int = 0,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Softmax attention ``softmax(q k^T * scale) v`` -> [B, H, N, Dh].
 
     ``num_special > 0`` applies the dual-query shared-KV mask (module doc).
+    ``dropout_rate`` with a ``dropout_rng`` applies attention-PROBABILITY
+    dropout (reference vit.py:68) on the XLA path; the flash kernel cannot
+    drop individual probabilities, so its callers apply output dropout
+    instead (documented divergence).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -79,4 +85,7 @@ def mha(
         allowed = dual_query_allowed(q.shape[2], k.shape[2], num_special)
         dots = jnp.where(allowed, dots, _NEG_INF)
     attn = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
+        attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0).astype(v.dtype)
     return jnp.einsum("bhnm,bhmd->bhnd", attn, v)

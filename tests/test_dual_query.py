@@ -163,3 +163,28 @@ def test_shared_stream_trains_e2e():
     for key, val in metrics.items():
         assert np.isfinite(float(val)), key
     env.close()
+
+
+def test_xla_attention_prob_dropout():
+    """Attention-probability dropout (reference vit.py:68): stochastic
+    under different rngs, exact (scaled) identity at rate 0 / eval."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5))
+    base = mha(q, k, v, impl="xla")
+    d1 = mha(q, k, v, impl="xla", dropout_rate=0.5,
+             dropout_rng=jax.random.PRNGKey(1))
+    d2 = mha(q, k, v, impl="xla", dropout_rate=0.5,
+             dropout_rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(d1), np.asarray(d2))
+    assert not np.allclose(np.asarray(d1), np.asarray(base))
+    # expectation preserved: mean over many rngs approaches the base output
+    outs = np.mean(
+        [
+            np.asarray(
+                mha(q, k, v, impl="xla", dropout_rate=0.5,
+                    dropout_rng=jax.random.PRNGKey(100 + i))
+            )
+            for i in range(200)
+        ],
+        axis=0,
+    )
+    np.testing.assert_allclose(outs, np.asarray(base), atol=0.15)
