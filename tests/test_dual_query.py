@@ -183,8 +183,8 @@ def test_xla_attention_prob_dropout():
                 mha(q, k, v, impl="xla", dropout_rate=0.5,
                     dropout_rng=jax.random.PRNGKey(100 + i))
             )
-            for i in range(200)
+            for i in range(500)
         ],
         axis=0,
     )
-    np.testing.assert_allclose(outs, np.asarray(base), atol=0.15)
+    np.testing.assert_allclose(outs, np.asarray(base), atol=0.2)
