@@ -91,3 +91,24 @@ def test_dp_matches_single_device_math():
         float(state_dp2.reward_rms.mean), float(state_12.reward_rms.mean),
         rtol=1e-3, atol=1e-5,
     )
+
+
+def test_dp_with_dual_query_backbone():
+    """Data parallelism composes with the fused dual-query shared-KV mode:
+    one update over the 8-device mesh, finite loss, replicas agree."""
+    mesh = make_mesh(8)
+    cfg = tiny_cfg(8).replace(shared_patch_stream=True)
+    env = SyntheticVectorEnv(8, seed=0, max_episode_steps=16)
+    dp = DataParallelAgent(cfg, env.action_space_n, mesh)
+    state = dp.init_state(jax.random.PRNGKey(0))
+    collector = RolloutCollector(cfg, dp, env)
+    states = env.reset()
+    state, states = collector.warmup_obs_rms(state, states, jax.random.PRNGKey(1))
+    rollout, states = collector.collect(state.params, states, jax.random.PRNGKey(2))
+    state, metrics = dp.update(state, rollout, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["train/loss"]))
+    leaf = jax.tree_util.tree_leaves(state.params["policy"])[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    env.close()
