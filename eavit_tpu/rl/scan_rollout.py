@@ -28,29 +28,109 @@ from eavit_tpu.rl.ppo import sample_categorical, sample_normal
 
 class ScanRolloutCollector:
     """Fully-jitted rollout over a device env. API mirrors the host
-    collectors minus host states (env state is a device pytree)."""
+    collectors minus host states (env state is a device pytree).
 
-    def __init__(self, cfg: Config, agent: RNDAgent, env_params: DeviceEnvParams):
+    With ``mesh`` set (pass the DataParallelAgent's mesh), the WHOLE scan
+    rollout is shard_mapped over the ``data`` axis: per-env frames, walls,
+    env state, and every rollout buffer live sharded across chips, episode
+    metrics are pooled with psum/pmean — the zero-host pipeline scales the
+    same way the update does. Agents must then be mesh-aware
+    (``DataParallelAgent``) so the rollout feeds `update` without a resharde.
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        agent: RNDAgent,
+        env_params: DeviceEnvParams,
+        mesh=None,
+    ):
         self.cfg = cfg
         self.agent = agent
+        base = agent.agent if hasattr(agent, "agent") else agent
+        self._network = base.network
         self.env_params = env_params
+        self.mesh = mesh
         self._pixel_rnd = cfg.train_method == TrainMethod.ORIGINAL_RND
-        self._discrete = agent.action_space == ActionSpaceType.DISCRETE
-        self._collect = jax.jit(self._collect_impl, donate_argnums=(1,))
+        self._discrete = base.action_space == ActionSpaceType.DISCRETE
+        if mesh is None:
+            self._collect = jax.jit(self._collect_impl, donate_argnums=(1,))
+        else:
+            self._build_sharded(mesh)
+
+    def _build_sharded(self, mesh) -> None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        env0 = P("data")
+        rep = P()
+        state_spec = DeviceEnvState(
+            pos=env0, steps=env0, visited=env0, episode_reward=env0,
+            stack=env0, finished_episodes=env0, last_episode_return=env0,
+            last_episode_rooms=env0,
+        )
+        rollout_spec = Rollout(
+            states=P(None, "data"), actions=P(None, "data"),
+            rewards=P(None, "data"), dones=P(None, "data"),
+            next_obs=P(None, "data"), value_ext=P(None, "data"),
+            value_int=P(None, "data"), policy=P(None, "data"),
+        )
+        # grid/stack/episode-cap are STATIC shape-determining ints — close
+        # over them; only the per-env frame/wall tables go through shard_map
+        statics = self.env_params
+
+        def sharded(params, frames, walls, env_state, rng):
+            ep = statics._replace(frames=frames, walls=walls)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            ro, st, metrics = self._collect_impl(params, env_state, rng, ep)
+            metrics["data/num_episodes"] = jax.lax.psum(
+                metrics["data/num_episodes"], "data"
+            )
+            metrics = {
+                k: (v if k == "data/num_episodes" else jax.lax.pmean(v, "data"))
+                for k, v in metrics.items()
+            }
+            return ro, st, metrics
+
+        f = jax.shard_map(
+            sharded,
+            mesh=mesh,
+            in_specs=(rep, env0, env0, state_spec, rep),
+            out_specs=(rollout_spec, state_spec, rep),
+            check_vma=False,
+        )
+        jitted = jax.jit(f, donate_argnums=(3,))
+        # place the per-env frame/wall tables on the mesh once
+        sharded_env0 = NamedSharding(mesh, env0)
+        self._frames = jax.device_put(self.env_params.frames, sharded_env0)
+        self._walls = jax.device_put(self.env_params.walls, sharded_env0)
+        self._state_shardings = jax.tree_util.tree_map(
+            lambda spec: NamedSharding(mesh, spec), state_spec
+        )
+
+        def collect(params, env_state, rng):
+            return jitted(params, self._frames, self._walls, env_state, rng)
+
+        self._collect = collect
+
+    def shard_env_state(self, env_state: DeviceEnvState) -> DeviceEnvState:
+        """Place a freshly-built env state onto the mesh (sharded over envs)."""
+        assert self.mesh is not None
+        return jax.device_put(env_state, self._state_shardings)
 
     def collect(
         self, params: Any, env_state: DeviceEnvState, rng: jax.Array
     ) -> Tuple[Rollout, DeviceEnvState, Dict[str, jnp.ndarray]]:
         return self._collect(params, env_state, rng)
 
-    def _collect_impl(self, params, env_state: DeviceEnvState, rng):
+    def _collect_impl(self, params, env_state: DeviceEnvState, rng,
+                      env_params: DeviceEnvParams = None):
         cfg = self.cfg
-        ep = self.env_params
+        ep = env_params if env_params is not None else self.env_params
 
         def act(stack, key):
             k_s, k_d, k_n = jax.random.split(key, 3)
             obs = stack.astype(jnp.float32) / 255.0
-            out = self.agent.network.apply(
+            out = self._network.apply(
                 {"params": params["policy"]},
                 obs,
                 False,

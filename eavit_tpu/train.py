@@ -156,11 +156,16 @@ def _train_device_env(cfg: Config, logger: Logger,
         maze=cfg.synthetic_maze,
         texture=cfg.synthetic_texture,
     )
-    agent = RNDAgent(cfg, 5)  # device env action set
+    # device env action set is 5; multi-device runs get the DP agent and a
+    # shard_mapped scan rollout (zero-host pipeline scales over the mesh)
+    agent = build_agent(cfg, 5)
+    mesh = getattr(agent, "mesh", None)
     rng = jax.random.PRNGKey(cfg.seed)
     rng, k = jax.random.split(rng)
     state = agent.init_state(k)
-    collector = ScanRolloutCollector(cfg, agent, env_params)
+    collector = ScanRolloutCollector(cfg, agent, env_params, mesh=mesh)
+    if mesh is not None:
+        env_state = collector.shard_env_state(env_state)
     ckpt = CheckpointManager(cfg.save_model_path, cfg.log_name, cfg.save_ckpt_every)
 
     start_update = 0

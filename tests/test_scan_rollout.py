@@ -46,8 +46,8 @@ def test_device_env_matches_host_env():
         np.testing.assert_allclose(np.asarray(reward), np.asarray(hr, np.float32))
 
 
-def test_scan_rollout_trains():
-    cfg = Config(
+def tiny_cfg(**kw) -> Config:
+    base = dict(
         vit=ViTConfig(
             dim=32, patch_size=21, depth=1, heads=2, dim_head=16, mlp_dim=64,
             dropout=0.0, emb_dropout=0.0,
@@ -57,9 +57,17 @@ def test_scan_rollout_trains():
         num_env_per_process=4,
         mini_batch=2,
         epoch=1,
+        obs_norm_step=1,
+        max_step_per_episode=8,
         compute_dtype="float32",
         use_pallas_attention=False,
     )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_scan_rollout_trains():
+    cfg = tiny_cfg()
     env_params, env_state = make_device_env(4, seed=1, max_episode_steps=6)
     agent = RNDAgent(cfg, 5)
     state = agent.init_state(jax.random.PRNGKey(0))
@@ -74,3 +82,57 @@ def test_scan_rollout_trains():
         assert np.isfinite(float(metrics["train/loss"]))
     assert float(env_metrics["data/num_episodes"]) > 0
     assert int(state.global_update) == 2
+
+
+def test_sharded_scan_rollout_dp():
+    """Zero-host pipeline over the 8-device mesh: shard_mapped scan rollout
+    feeds the DP update; per-shard episode metrics pool correctly."""
+    import jax
+    import numpy as np
+
+    from eavit_tpu.envs.device_env import make_device_env
+    from eavit_tpu.parallel.dp import DataParallelAgent, make_mesh
+    from eavit_tpu.rl.scan_rollout import ScanRolloutCollector
+
+    cfg = tiny_cfg().replace(num_env_per_process=8, data_axis_size=8)
+    mesh = make_mesh(8)
+    env_params, env_state = make_device_env(
+        cfg.num_env_per_process,
+        seed=cfg.seed,
+        grid=cfg.synthetic_grid,
+        max_episode_steps=8,
+    )
+    dp = DataParallelAgent(cfg, 5, mesh)
+    state = dp.init_state(jax.random.PRNGKey(0))
+    col = ScanRolloutCollector(cfg, dp, env_params, mesh=mesh)
+    env_state = col.shard_env_state(env_state)
+
+    ro, env_state, metrics = col.collect(
+        state.params, env_state, jax.random.PRNGKey(1)
+    )
+    assert ro.states.shape[1] == 8
+    # metrics replicated across the mesh (psum/pmean applied)
+    assert np.isfinite(float(metrics["data/mean_undiscounted_episode_return"]))
+    # every env truncates at 8 steps within the rollout => episodes counted
+    # across ALL shards (psum), not just shard 0
+    assert float(metrics["data/num_episodes"]) == 8.0
+
+    state, m = dp.update(state, ro, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["train/loss"]))
+
+
+def test_device_env_train_entry_dp():
+    """train() drives the sharded zero-host path when DataAxisSize>1."""
+    from eavit_tpu.config import EnvType
+    from eavit_tpu.train import train
+
+    cfg = tiny_cfg().replace(
+        num_env_per_process=8,
+        data_axis_size=8,
+        env_type=EnvType.SYNTHETIC_DEVICE,
+        log_name="devdp",
+    )
+    metrics = train(cfg, total_updates=2)
+    assert metrics and all(
+        __import__("numpy").isfinite(v) for v in metrics.values()
+    )
