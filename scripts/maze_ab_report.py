@@ -1,0 +1,77 @@
+"""Summarize the maze A/B JSONL curves (scripts/maze_ab.py output).
+
+Prints windowed means of rooms/episode for each arm plus a first-vs-last
+comparison with a simple two-sample significance check (Welch t on the
+last-K window against the random-walk arm's overall distribution).
+
+Usage: python scripts/maze_ab_report.py [--dir logs/maze_ab] [--window 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import math
+import os
+
+import numpy as np
+
+
+def load(path):
+    return [json.loads(l) for l in open(path)]
+
+
+def welch_t(a: np.ndarray, b: np.ndarray) -> float:
+    va, vb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    return float((a.mean() - b.mean()) / math.sqrt(va + vb + 1e-12))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--dir", default="logs/maze_ab")
+    p.add_argument("--window", type=int, default=50)
+    a = p.parse_args()
+
+    arms = {}
+    for f in sorted(glob.glob(os.path.join(a.dir, "*.jsonl"))):
+        rows = load(f)
+        if rows:
+            arms[os.path.basename(f).replace(".jsonl", "")] = rows
+
+    for name, rows in arms.items():
+        rooms = np.array([r["rooms_per_episode"] for r in rows])
+        ent = np.array([r["entropy"] for r in rows])
+        print(f"\n== {name} ({len(rows)} updates) ==")
+        w = a.window
+        for lo in range(0, len(rooms), w):
+            s = slice(lo, lo + w)
+            if s.stop - 1 >= len(rooms) and len(rooms[s]) < w // 2:
+                break
+            print(
+                f"  upd {lo + 1:4d}-{min(lo + w, len(rooms)):4d}: "
+                f"rooms {rooms[s].mean():6.2f} +- {rooms[s].std():.2f}   "
+                f"entropy {ent[s].mean():.4f}"
+            )
+        print(
+            f"  first-{w} {rooms[:w].mean():.2f} -> last-{w} "
+            f"{rooms[-w:].mean():.2f}  (max windowed "
+            f"{max(rooms[i:i+w].mean() for i in range(0, max(1, len(rooms)-w+1), w)):.2f})"
+        )
+
+    rnd = next((v for k, v in arms.items() if k.startswith("rnd")), None)
+    ppo = next((v for k, v in arms.items() if k.startswith("ppo")), None)
+    if rnd and ppo:
+        w = a.window
+        r_last = np.array([r["rooms_per_episode"] for r in rnd[-w:]])
+        p_all = np.array([r["rooms_per_episode"] for r in ppo])
+        t = welch_t(r_last, p_all)
+        print(
+            f"\nRND last-{w} ({r_last.mean():.2f}) vs PPO overall "
+            f"({p_all.mean():.2f}): Welch t = {t:.2f} "
+            f"({'separation' if t > 3 else 'no clear separation'})"
+        )
+
+
+if __name__ == "__main__":
+    main()
