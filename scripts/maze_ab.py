@@ -52,30 +52,34 @@ from eavit_tpu.rl.scan_rollout import ScanRolloutCollector
 from eavit_tpu.train import setup_jax
 
 
-def make_cfg(arm: str, seed: int) -> Config:
+def make_cfg(arm: str, seed: int, entropy: float = 0.001,
+             int_coef: float = 1.0, lr: float = 3e-4) -> Config:
     return Config(
+        entropy_coef=entropy,
         train_method=(
             TrainMethod.ORIGINAL_RND if arm == "rnd" else TrainMethod.PPO
         ),
         ext_coef=0.0,
-        int_coef=1.0,
+        int_coef=int_coef,
         num_env_per_process=32,
         num_step=128,
         max_step_per_episode=384,
         synthetic_grid=12,
         synthetic_maze=True,
-        learning_rate=3e-4,
+        learning_rate=lr,
         seed=seed,
         obs_norm_step=50,
         total_updates=-1,
     )
 
 
-def run(arm: str, updates: int, seed: int, out_dir: str) -> None:
-    cfg = make_cfg(arm, seed)
+def run(arm: str, updates: int, seed: int, out_dir: str,
+        entropy: float = 0.001, int_coef: float = 1.0, lr: float = 3e-4,
+        tag: str = "") -> None:
+    cfg = make_cfg(arm, seed, entropy=entropy, int_coef=int_coef, lr=lr)
     setup_jax(cfg)
     os.makedirs(out_dir, exist_ok=True)
-    out_path = os.path.join(out_dir, f"{arm}_seed{seed}.jsonl")
+    out_path = os.path.join(out_dir, f"{arm}{tag}_seed{seed}.jsonl")
 
     env_params, env_state = make_device_env(
         cfg.num_env_per_process,
@@ -142,5 +146,10 @@ if __name__ == "__main__":
     p.add_argument("--updates", type=int, default=300)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out_dir", type=str, default="logs/maze_ab")
+    p.add_argument("--entropy", type=float, default=0.001)
+    p.add_argument("--int_coef", type=float, default=1.0)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--tag", type=str, default="")
     a = p.parse_args()
-    run(a.arm, a.updates, a.seed, a.out_dir)
+    run(a.arm, a.updates, a.seed, a.out_dir,
+        entropy=a.entropy, int_coef=a.int_coef, lr=a.lr, tag=a.tag)
