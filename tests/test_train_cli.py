@@ -126,3 +126,18 @@ def test_cli_config_options():
     )
     assert out.returncode == 0
     assert "TrainMethod" in out.stdout
+
+
+def test_eval_episode_budget(tmp_path):
+    """evaluate() plays exactly EvalEpisodes episodes (reference plays
+    forever; eval_episodes=-1 reproduces that, a positive budget stops)."""
+    from eavit_tpu.eval import evaluate
+
+    cfg = demo_cfg(tmp_path, max_step_per_episode=12)
+    # train 1 update and save a checkpoint to play back
+    train(cfg, total_updates=1, log_dir=str(tmp_path / "logs"))
+    ckpt = os.path.join(str(tmp_path / "ckpt"), cfg.log_name)
+    cfg2 = cfg.replace(load_model=True, load_model_path=ckpt, eval_episodes=2)
+    out = evaluate(cfg2, num_episodes=cfg2.eval_episodes)
+    assert out["episodes"] == 2
+    assert np.isfinite(out["mean_return"])
