@@ -15,7 +15,7 @@ import numpy as np
 
 from eavit_tpu.config import Config, EnvType
 from eavit_tpu.envs.pool import SyncVectorEnv, ThreadVectorEnv
-from eavit_tpu.envs.synthetic import SyntheticAtariEnv, SyntheticVectorEnv
+from eavit_tpu.envs.synthetic import SyntheticVectorEnv
 
 
 def _wrap_common(env, cfg: Config, seed: int, *, montezuma: bool):

@@ -36,14 +36,14 @@ Two architecture flavors, selected by ``ViT_implementation_type``:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from eavit_tpu.config import ViTConfig, ViTHGConfig
-from eavit_tpu.models.layers import make_dense, torch_linear_kernel_init
+from eavit_tpu.models.layers import torch_linear_kernel_init
 from eavit_tpu.ops.attention import mha
 
 
