@@ -53,7 +53,8 @@ from eavit_tpu.train import setup_jax
 
 
 def make_cfg(arm: str, seed: int, entropy: float = 0.001,
-             int_coef: float = 1.0, lr: float = 3e-4) -> Config:
+             int_coef: float = 1.0, lr: float = 3e-4,
+             maze: bool = True) -> Config:
     return Config(
         entropy_coef=entropy,
         train_method=(
@@ -65,7 +66,7 @@ def make_cfg(arm: str, seed: int, entropy: float = 0.001,
         num_step=128,
         max_step_per_episode=384,
         synthetic_grid=12,
-        synthetic_maze=True,
+        synthetic_maze=maze,
         learning_rate=lr,
         seed=seed,
         obs_norm_step=50,
@@ -75,8 +76,9 @@ def make_cfg(arm: str, seed: int, entropy: float = 0.001,
 
 def run(arm: str, updates: int, seed: int, out_dir: str,
         entropy: float = 0.001, int_coef: float = 1.0, lr: float = 3e-4,
-        tag: str = "") -> None:
-    cfg = make_cfg(arm, seed, entropy=entropy, int_coef=int_coef, lr=lr)
+        tag: str = "", maze: bool = True) -> None:
+    cfg = make_cfg(arm, seed, entropy=entropy, int_coef=int_coef, lr=lr,
+                   maze=maze)
     setup_jax(cfg)
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{arm}{tag}_seed{seed}.jsonl")
@@ -150,6 +152,9 @@ if __name__ == "__main__":
     p.add_argument("--int_coef", type=float, default=1.0)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--tag", type=str, default="")
+    p.add_argument("--no_maze", action="store_true",
+                   help="open torus map (easy-novelty control experiment)")
     a = p.parse_args()
     run(a.arm, a.updates, a.seed, a.out_dir,
-        entropy=a.entropy, int_coef=a.int_coef, lr=a.lr, tag=a.tag)
+        entropy=a.entropy, int_coef=a.int_coef, lr=a.lr, tag=a.tag,
+        maze=not a.no_maze)
