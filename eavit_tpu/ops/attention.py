@@ -75,6 +75,12 @@ def mha(
         from eavit_tpu.ops.flash import flash_attention
 
         return flash_attention(q, k, v, scale=scale, num_special=num_special)
+    if impl == "pallas_stream":
+        from eavit_tpu.ops.flash_stream import flash_attention_stream
+
+        return flash_attention_stream(
+            q, k, v, scale=scale, num_special=num_special
+        )
     if impl != "xla":
         raise ValueError(f"unknown attention impl: {impl!r}")
 
