@@ -190,6 +190,10 @@ class Config:
     # small-sequence regime. Default to the faster path; flip for larger
     # patch grids / images where the kernel's no-HBM-scores advantage grows.
     use_pallas_attention: bool = False
+    # explicit attention implementation: "xla" | "pallas" (batch-blocked
+    # fused kernel) | "pallas_stream" (KV-streaming flash). Empty = derive
+    # from use_pallas_attention.
+    attention_impl: str = ""
     # Fused dual-query shared-KV mode (SURVEY §5): one masked sequence
     # [tok_explore, tok_exploit, patches] instead of a 2B token-stream stack —
     # halves encoder FLOPs; patches become a token-independent shared trunk
@@ -347,6 +351,7 @@ _KEYMAP: Dict[str, Tuple[Tuple[str, ...], Any]] = {
     "MaxGradNorm": (("max_grad_norm",), float),
     # TPU-native keys (absent in reference configs; loadable from new configs)
     "UsePallasAttention": (("use_pallas_attention",), _as_bool),
+    "AttentionImpl": (("attention_impl",), str),
     "SharedPatchStream": (("shared_patch_stream",), _as_bool),
     "ComputeDtype": (("compute_dtype",), str),
     "PrngImpl": (("prng_impl",), str),

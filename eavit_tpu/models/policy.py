@@ -53,7 +53,9 @@ def _compute_dtype(cfg: Config) -> Any:
 
 
 def build_backbone(cfg: Config, *, attention_impl: Optional[str] = None) -> nn.Module:
-    impl = attention_impl or ("pallas" if cfg.use_pallas_attention else "xla")
+    impl = attention_impl or cfg.attention_impl or (
+        "pallas" if cfg.use_pallas_attention else "xla"
+    )
     dtype = _compute_dtype(cfg)
     if cfg.vit_implementation_type == ViTImplementation.LUCIDRAINS:
         return DualTokenViT(
