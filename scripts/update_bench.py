@@ -71,7 +71,8 @@ def main() -> None:
     p.add_argument("--updates", type=int, default=3)
     p.add_argument("--trace", type=str, default=None)
     p.add_argument("--modes", type=str,
-                   default="exact/xla,exact/pallas,shared/xla,shared/pallas")
+                   default="exact/xla,exact/pallas,exact/pallas_stream,"
+                           "shared/xla,shared/pallas,shared/pallas_stream")
     a = p.parse_args()
 
     base = Config(
@@ -88,7 +89,7 @@ def main() -> None:
         stream, impl = mode.split("/")
         cfg = base.replace(
             shared_patch_stream=(stream == "shared"),
-            use_pallas_attention=(impl == "pallas"),
+            attention_impl=impl,
         )
         trace = a.trace and os.path.join(a.trace, mode.replace("/", "_"))
         dt = time_update(cfg, a.updates, trace)
