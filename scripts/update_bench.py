@@ -69,6 +69,9 @@ def time_update(cfg: Config, updates: int, trace_dir: str | None = None) -> floa
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--updates", type=int, default=3)
+    p.add_argument("--num_envs", type=int, default=64)
+    p.add_argument("--num_step", type=int, default=128)
+    p.add_argument("--dim", type=int, default=0, help="override ViT dim (0=flagship)")
     p.add_argument("--trace", type=str, default=None)
     p.add_argument("--modes", type=str,
                    default="exact/xla,exact/pallas,exact/pallas_stream,"
@@ -77,12 +80,19 @@ def main() -> None:
 
     base = Config(
         train_method=TrainMethod.ORIGINAL_RND,
-        num_step=128,
-        num_env_per_process=64,
+        num_step=a.num_step,
+        num_env_per_process=a.num_envs,
         epoch=4,
         mini_batch=32,
         max_step_per_episode=4500,
     )
+    if a.dim:
+        from eavit_tpu.config import ViTConfig
+
+        base = base.replace(
+            vit=ViTConfig(dim=a.dim, patch_size=6, depth=3, heads=8,
+                          dim_head=a.dim // 8, mlp_dim=4 * a.dim)
+        )
     setup_jax(base)
     frames = base.num_step * base.num_env_per_process
     for mode in a.modes.split(","):
