@@ -218,6 +218,9 @@ class Config:
     # room-frame family: "sine" (smooth, host-env bit-exact) or "noise"
     # (mutually unpredictable rooms — the Montezuma-like novelty regime)
     synthetic_texture: str = "sine"
+    # all envs share ONE world (textures + maze), like N parallel actors in
+    # one Atari game — the reference's actual setting
+    synthetic_shared_world: bool = False
     # SSL pretraining epoch budget, independent of total_updates (-1 = run
     # forever, like the reference's while-True SSL loop, train.py:342)
     ssl_pretrain_epochs: int = -1
@@ -362,6 +365,7 @@ _KEYMAP: Dict[str, Tuple[Tuple[str, ...], Any]] = {
     "SyntheticGrid": (("synthetic_grid",), int),
     "SyntheticMaze": (("synthetic_maze",), _as_bool),
     "SyntheticTexture": (("synthetic_texture",), str),
+    "SyntheticSharedWorld": (("synthetic_shared_world",), _as_bool),
     "SSLEpochs": (("ssl_pretrain_epochs",), int),
     "EvalEpisodes": (("eval_episodes",), int),
 }

@@ -83,6 +83,7 @@ def make_device_env(
     max_episode_steps: int = 128,
     maze: bool = False,
     texture: str = "sine",
+    shared_world: bool = False,
 ) -> Tuple[DeviceEnvParams, DeviceEnvState]:
     """Build per-env room frames (host, once) and the initial device state.
 
@@ -99,10 +100,17 @@ def make_device_env(
       mutually unpredictable, so unvisited rooms keep full novelty
       (measured ~6000x frontier/visited ratio). The Montezuma-like regime
       for exploration studies.
+
+    ``shared_world=True`` gives every env THE SAME textures and maze layout
+    (env 0's), like N parallel actors in one Atari game — the reference's
+    actual setting (64 workers, one Montezuma). Per-env worlds split the
+    experience N ways: the policy must memorize N separate mazes and each
+    room is seen N-times less often.
     """
     cells = np.empty((num_envs, grid, grid, height, width), np.uint8)
+    n_worlds = 1 if shared_world else num_envs
     if texture == "noise":
-        for i in range(num_envs):
+        for i in range(n_worlds):
             pat_rng = np.random.default_rng((seed + i) * 7919 + 13)
             cells[i] = pat_rng.integers(
                 0, 256, (grid, grid, height, width), dtype=np.uint8
@@ -111,7 +119,7 @@ def make_device_env(
         yy = np.linspace(0, 4 * np.pi, height)[:, None]
         xx = np.linspace(0, 4 * np.pi, width)[None, :]
         idx = np.arange(grid * grid).reshape(grid, grid)
-        for i in range(num_envs):
+        for i in range(n_worlds):
             pat_rng = np.random.default_rng((seed + i) * 7919 + 13)
             phase = pat_rng.uniform(0, 2 * np.pi, size=(grid, grid, 2))
             c = 127.5 * (
@@ -128,11 +136,14 @@ def make_device_env(
         walls = np.stack(
             [
                 _maze_walls(grid, np.random.default_rng((seed + i) * 104729 + 7))
-                for i in range(num_envs)
+                for i in range(n_worlds)
             ]
         )
     else:
-        walls = np.zeros((num_envs, grid, grid, 4), bool)
+        walls = np.zeros((n_worlds, grid, grid, 4), bool)
+    if shared_world:
+        cells[:] = cells[0]
+        walls = np.broadcast_to(walls, (num_envs,) + walls.shape[1:]).copy()
 
     params = DeviceEnvParams(
         frames=jnp.asarray(cells),

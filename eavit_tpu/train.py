@@ -155,6 +155,7 @@ def _train_device_env(cfg: Config, logger: Logger,
         max_episode_steps=cfg.max_step_per_episode,
         maze=cfg.synthetic_maze,
         texture=cfg.synthetic_texture,
+        shared_world=cfg.synthetic_shared_world,
     )
     # device env action set is 5; multi-device runs get the DP agent and a
     # shard_mapped scan rollout (zero-host pipeline scales over the mesh)

@@ -93,6 +93,7 @@ def run(arm: str, updates: int, seed: int, out_dir: str,
         max_episode_steps=cfg.max_step_per_episode,
         maze=cfg.synthetic_maze,
         texture="noise",
+        shared_world=True,
     )
     agent = RNDAgent(cfg, 5)
     rng = jax.random.PRNGKey(cfg.seed)
