@@ -54,9 +54,10 @@ from eavit_tpu.train import setup_jax
 
 def make_cfg(arm: str, seed: int, entropy: float = 0.001,
              int_coef: float = 1.0, lr: float = 3e-4,
-             maze: bool = True) -> Config:
+             maze: bool = True, update_proportion: float = 0.25) -> Config:
     return Config(
         entropy_coef=entropy,
+        update_proportion=update_proportion,
         train_method=(
             TrainMethod.ORIGINAL_RND if arm == "rnd" else TrainMethod.PPO
         ),
@@ -76,9 +77,10 @@ def make_cfg(arm: str, seed: int, entropy: float = 0.001,
 
 def run(arm: str, updates: int, seed: int, out_dir: str,
         entropy: float = 0.001, int_coef: float = 1.0, lr: float = 3e-4,
-        tag: str = "", maze: bool = True) -> None:
+        tag: str = "", maze: bool = True,
+        update_proportion: float = 0.25) -> None:
     cfg = make_cfg(arm, seed, entropy=entropy, int_coef=int_coef, lr=lr,
-                   maze=maze)
+                   maze=maze, update_proportion=update_proportion)
     setup_jax(cfg)
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{arm}{tag}_seed{seed}.jsonl")
@@ -155,7 +157,11 @@ if __name__ == "__main__":
     p.add_argument("--tag", type=str, default="")
     p.add_argument("--no_maze", action="store_true",
                    help="open torus map (easy-novelty control experiment)")
+    p.add_argument("--update_proportion", type=float, default=0.25,
+                   help="fraction of samples training the RND predictor "
+                        "(reference UpdateProportion; lower = slower "
+                        "memorization = longer-lived novelty)")
     a = p.parse_args()
     run(a.arm, a.updates, a.seed, a.out_dir,
         entropy=a.entropy, int_coef=a.int_coef, lr=a.lr, tag=a.tag,
-        maze=not a.no_maze)
+        maze=not a.no_maze, update_proportion=a.update_proportion)
