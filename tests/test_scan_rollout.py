@@ -136,3 +136,32 @@ def test_device_env_train_entry_dp():
     assert metrics and all(
         __import__("numpy").isfinite(v) for v in metrics.values()
     )
+
+
+def test_shared_world_and_texture_config_threading(tmp_path):
+    """SyntheticMaze/SyntheticTexture/SyntheticSharedWorld reach the device
+    env from a .conf file through the train entry."""
+    from eavit_tpu.config import load_config
+
+    conf = tmp_path / "m.conf"
+    conf.write_text(
+        "[DEFAULT]\nEnvType = synthetic_device\nSyntheticMaze = True\n"
+        "SyntheticTexture = noise\nSyntheticSharedWorld = True\n"
+        "SyntheticGrid = 4\n"
+    )
+    cfg = load_config(str(conf))
+    assert cfg.synthetic_maze and cfg.synthetic_shared_world
+    assert cfg.synthetic_texture == "noise"
+
+    from eavit_tpu.envs.device_env import make_device_env
+
+    p, _ = make_device_env(
+        3, seed=cfg.seed, grid=cfg.synthetic_grid,
+        maze=cfg.synthetic_maze, texture=cfg.synthetic_texture,
+        shared_world=cfg.synthetic_shared_world,
+    )
+    f = np.asarray(p.frames)
+    w = np.asarray(p.walls)
+    assert (f == f[0]).all() and (w == w[0]).all()
+    # maze mode: at least one wall blocked somewhere
+    assert w.any()
