@@ -33,7 +33,8 @@ class DeviceEnvParams(NamedTuple):
 class DeviceEnvState(NamedTuple):
     pos: jnp.ndarray  # [N, 2] int32
     steps: jnp.ndarray  # [N] int32
-    visited: jnp.ndarray  # [N, G*G] bool
+    visited: jnp.ndarray  # [N, G*G] bool (per-episode, reset on done)
+    ever_visited: jnp.ndarray  # [N, G*G] bool (cumulative, never reset)
     episode_reward: jnp.ndarray  # [N] f32
     stack: jnp.ndarray  # [N, C, H, W] uint8
     # episode bookkeeping aggregates (device-side EpisodeStats)
@@ -171,6 +172,9 @@ def device_env_reset(params: DeviceEnvParams, num_envs: int) -> DeviceEnvState:
         pos=pos,
         steps=jnp.zeros(num_envs, jnp.int32),
         visited=visited,
+        # distinct buffer (same values): aliasing the visited array would
+        # make donated env-state pytrees donate one buffer twice
+        ever_visited=jnp.zeros((num_envs, g * g), bool).at[:, 0].set(True),
         episode_reward=jnp.zeros(num_envs, jnp.float32),
         stack=jnp.repeat(frame[:, None], params.stack, axis=1),
         finished_episodes=jnp.zeros(num_envs, jnp.int32),
@@ -207,6 +211,7 @@ def device_env_step(
     first_visit = ~state.visited[jnp.arange(n), room]
     reward = first_visit.astype(jnp.float32)
     visited = state.visited.at[jnp.arange(n), room].set(True)
+    ever_visited = state.ever_visited.at[jnp.arange(n), room].set(True)
     episode_reward = state.episode_reward + reward
     steps = state.steps + 1
 
@@ -228,6 +233,7 @@ def device_env_step(
         pos=jnp.where(r, pos0, pos),
         steps=jnp.where(reset, 0, steps),
         visited=jnp.where(r, visited0, visited),
+        ever_visited=ever_visited,  # cumulative discovery — survives resets
         episode_reward=jnp.where(reset, 0.0, episode_reward),
         stack=jnp.where(reset[:, None, None, None], stack0, shifted),
         finished_episodes=state.finished_episodes + reset.astype(jnp.int32),

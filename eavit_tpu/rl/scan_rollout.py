@@ -64,9 +64,9 @@ class ScanRolloutCollector:
         env0 = P("data")
         rep = P()
         state_spec = DeviceEnvState(
-            pos=env0, steps=env0, visited=env0, episode_reward=env0,
-            stack=env0, finished_episodes=env0, last_episode_return=env0,
-            last_episode_rooms=env0,
+            pos=env0, steps=env0, visited=env0, ever_visited=env0,
+            episode_reward=env0, stack=env0, finished_episodes=env0,
+            last_episode_return=env0, last_episode_rooms=env0,
         )
         rollout_spec = Rollout(
             states=P(None, "data"), actions=P(None, "data"),
@@ -85,8 +85,18 @@ class ScanRolloutCollector:
             metrics["data/num_episodes"] = jax.lax.psum(
                 metrics["data/num_episodes"], "data"
             )
+            # fleet-union discovery: OR across shards = max of 0/1 vectors
+            metrics["data/total_rooms_discovered"] = jnp.sum(
+                jax.lax.pmax(
+                    jnp.any(st.ever_visited, axis=0).astype(jnp.float32), "data"
+                )
+            )
             metrics = {
-                k: (v if k == "data/num_episodes" else jax.lax.pmean(v, "data"))
+                k: (
+                    v
+                    if k in ("data/num_episodes", "data/total_rooms_discovered")
+                    else jax.lax.pmean(v, "data")
+                )
                 for k, v in metrics.items()
             }
             return ro, st, metrics
@@ -189,5 +199,14 @@ class ScanRolloutCollector:
             "data/mean_number_of_visited_rooms": jnp.mean(
                 env_state.last_episode_rooms.astype(jnp.float32)
             ),
+            # cumulative exploration: rooms ever visited (per-env mean and
+            # fleet union) — the monotone frontier-pushing signal the
+            # per-episode metric can't show
+            "data/mean_rooms_discovered": jnp.mean(
+                jnp.sum(env_state.ever_visited, axis=1).astype(jnp.float32)
+            ),
+            "data/total_rooms_discovered": jnp.sum(
+                jnp.any(env_state.ever_visited, axis=0)
+            ).astype(jnp.float32),
         }
         return rollout, env_state, metrics

@@ -54,7 +54,9 @@ from eavit_tpu.train import setup_jax
 
 def make_cfg(arm: str, seed: int, entropy: float = 0.001,
              int_coef: float = 1.0, lr: float = 3e-4,
-             maze: bool = True, update_proportion: float = 0.25) -> Config:
+             maze: bool = True, update_proportion: float = 0.25,
+             grid: int = 12, ep_len: int = 384,
+             num_envs: int = 32) -> Config:
     return Config(
         entropy_coef=entropy,
         update_proportion=update_proportion,
@@ -63,10 +65,10 @@ def make_cfg(arm: str, seed: int, entropy: float = 0.001,
         ),
         ext_coef=0.0,
         int_coef=int_coef,
-        num_env_per_process=32,
+        num_env_per_process=num_envs,
         num_step=128,
-        max_step_per_episode=384,
-        synthetic_grid=12,
+        max_step_per_episode=ep_len,
+        synthetic_grid=grid,
         synthetic_maze=maze,
         learning_rate=lr,
         seed=seed,
@@ -78,9 +80,11 @@ def make_cfg(arm: str, seed: int, entropy: float = 0.001,
 def run(arm: str, updates: int, seed: int, out_dir: str,
         entropy: float = 0.001, int_coef: float = 1.0, lr: float = 3e-4,
         tag: str = "", maze: bool = True,
-        update_proportion: float = 0.25) -> None:
+        update_proportion: float = 0.25,
+        grid: int = 12, ep_len: int = 384, num_envs: int = 32) -> None:
     cfg = make_cfg(arm, seed, entropy=entropy, int_coef=int_coef, lr=lr,
-                   maze=maze, update_proportion=update_proportion)
+                   maze=maze, update_proportion=update_proportion,
+                   grid=grid, ep_len=ep_len, num_envs=num_envs)
     setup_jax(cfg)
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{arm}{tag}_seed{seed}.jsonl")
@@ -120,11 +124,18 @@ def run(arm: str, updates: int, seed: int, out_dir: str,
             )
             state, metrics = agent.update(state, rollout, k2)
             rooms = float(env_metrics["data/mean_number_of_visited_rooms"])
+            discovered = float(
+                env_metrics.get("data/total_rooms_discovered", 0.0)
+            )
             row = {
                 "arm": arm,
                 "seed": seed,
                 "update": update,
                 "rooms_per_episode": rooms,
+                "rooms_discovered": discovered,
+                "mean_rooms_discovered": float(
+                    env_metrics.get("data/mean_rooms_discovered", 0.0)
+                ),
                 "episodes": float(env_metrics["data/num_episodes"]),
                 "return": float(
                     env_metrics["data/mean_undiscounted_episode_return"]
@@ -140,6 +151,7 @@ def run(arm: str, updates: int, seed: int, out_dir: str,
             if update % 10 == 0 or update == 1:
                 print(
                     f"[{arm}] update {update}/{updates} rooms/ep {rooms:.1f} "
+                    f"discovered {discovered:.0f} "
                     f"entropy {row['entropy']:.3f} ({row['elapsed_s']:.0f}s)",
                     flush=True,
                 )
@@ -161,7 +173,14 @@ if __name__ == "__main__":
                    help="fraction of samples training the RND predictor "
                         "(reference UpdateProportion; lower = slower "
                         "memorization = longer-lived novelty)")
+    p.add_argument("--grid", type=int, default=12,
+                   help="maze side length (grid x grid rooms); bigger keeps "
+                        "a permanent unexplored frontier")
+    p.add_argument("--ep_len", type=int, default=384,
+                   help="max steps per episode")
+    p.add_argument("--num_envs", type=int, default=32)
     a = p.parse_args()
     run(a.arm, a.updates, a.seed, a.out_dir,
         entropy=a.entropy, int_coef=a.int_coef, lr=a.lr, tag=a.tag,
-        maze=not a.no_maze, update_proportion=a.update_proportion)
+        maze=not a.no_maze, update_proportion=a.update_proportion,
+        grid=a.grid, ep_len=a.ep_len, num_envs=a.num_envs)

@@ -165,3 +165,22 @@ def test_shared_world_and_texture_config_threading(tmp_path):
     assert (f == f[0]).all() and (w == w[0]).all()
     # maze mode: at least one wall blocked somewhere
     assert w.any()
+
+
+def test_ever_visited_survives_resets():
+    """Cumulative discovery: ever_visited accumulates across episode resets
+    while the per-episode visited set clears (exploration A/B headline
+    metric, scripts/maze_ab.py)."""
+    params, state = make_device_env(2, seed=1, grid=4, max_episode_steps=3)
+    step = jax.jit(lambda s, a: device_env_step(params, s, a))
+    # walk right twice (rooms (0,1), (0,2)), then hit the 3-step truncation
+    for a in (4, 4, 0):
+        state, _, _, trunc = step(state, jnp.asarray([a, a]))
+    assert bool(trunc[0])
+    # per-episode set reset to just the start room; cumulative keeps 3 rooms
+    assert int(jnp.sum(state.visited[0])) == 1
+    assert int(jnp.sum(state.ever_visited[0])) == 3
+    # next episode adds a NEW room (down) to the cumulative set
+    state, _, _, _ = step(state, jnp.asarray([2, 2]))
+    assert int(jnp.sum(state.ever_visited[0])) == 4
+    assert int(jnp.sum(state.visited[0])) == 2
