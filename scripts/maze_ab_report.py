@@ -1,10 +1,13 @@
 """Summarize the maze A/B JSONL curves (scripts/maze_ab.py output).
 
-Prints windowed means of rooms/episode for each arm plus a first-vs-last
-comparison with a simple two-sample significance check (Welch t on the
-last-K window against the random-walk arm's overall distribution).
+Prints windowed means of rooms/episode AND cumulative fleet discovery for
+each arm, plus arm-vs-arm comparisons: a Welch t on the last-K
+rooms/episode window and the final discovered-room counts (the
+frontier-pushing signal — monotone, so compared directly at matched
+update counts).
 
 Usage: python scripts/maze_ab_report.py [--dir logs/maze_ab] [--window 50]
+       [--match <substring>]  (only files whose name contains it)
 """
 
 from __future__ import annotations
@@ -31,10 +34,13 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--dir", default="logs/maze_ab")
     p.add_argument("--window", type=int, default=50)
+    p.add_argument("--match", default="")
     a = p.parse_args()
 
     arms = {}
     for f in sorted(glob.glob(os.path.join(a.dir, "*.jsonl"))):
+        if a.match and a.match not in os.path.basename(f):
+            continue
         rows = load(f)
         if rows:
             arms[os.path.basename(f).replace(".jsonl", "")] = rows
@@ -42,6 +48,7 @@ def main() -> None:
     for name, rows in arms.items():
         rooms = np.array([r["rooms_per_episode"] for r in rows])
         ent = np.array([r["entropy"] for r in rows])
+        disc = np.array([r.get("rooms_discovered", 0.0) for r in rows])
         print(f"\n== {name} ({len(rows)} updates) ==")
         w = a.window
         for lo in range(0, len(rooms), w):
@@ -51,12 +58,14 @@ def main() -> None:
             print(
                 f"  upd {lo + 1:4d}-{min(lo + w, len(rooms)):4d}: "
                 f"rooms {rooms[s].mean():6.2f} +- {rooms[s].std():.2f}   "
+                f"discovered {disc[s].max():5.0f}   "
                 f"entropy {ent[s].mean():.4f}"
             )
         print(
             f"  first-{w} {rooms[:w].mean():.2f} -> last-{w} "
             f"{rooms[-w:].mean():.2f}  (max windowed "
             f"{max(rooms[i:i+w].mean() for i in range(0, max(1, len(rooms)-w+1), w)):.2f})"
+            f"  final discovered {disc[-1]:.0f}"
         )
 
     rnd = next((v for k, v in arms.items() if k.startswith("rnd")), None)
@@ -67,10 +76,19 @@ def main() -> None:
         p_all = np.array([r["rooms_per_episode"] for r in ppo])
         t = welch_t(r_last, p_all)
         print(
-            f"\nRND last-{w} ({r_last.mean():.2f}) vs PPO overall "
+            f"\nRND last-{w} rooms/ep ({r_last.mean():.2f}) vs PPO overall "
             f"({p_all.mean():.2f}): Welch t = {t:.2f} "
             f"({'separation' if t > 3 else 'no clear separation'})"
         )
+        n = min(len(rnd), len(ppo))
+        rd = rnd[n - 1].get("rooms_discovered", 0.0)
+        pd = ppo[n - 1].get("rooms_discovered", 0.0)
+        if rd or pd:
+            print(
+                f"fleet discovery @ update {n}: RND {rd:.0f} vs PPO {pd:.0f} "
+                f"rooms ({'RND ahead' if rd > pd else 'no RND advantage'}, "
+                f"{rd - pd:+.0f})"
+            )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,89 @@
+"""On-chip numerics check: Pallas attention kernels vs the XLA reference.
+
+The pytest parity tests run the kernels in interpreter mode on CPU
+(ops/flash.py:44-46); this script runs them on the REAL TPU (Mosaic
+compilation) and compares forward outputs and input gradients against the
+XLA implementation at the flagship shape and a non-aligned shape, in both
+f32 and bf16, exact and dual-query shared-KV modes.
+
+Usage (needs the chip free): python scripts/tpu_kernel_check.py
+Prints one PASS/FAIL line per case; exit code 1 on any FAIL.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eavit_tpu.ops.attention import mha
+
+# (B, H, N, Dh): flagship = 512 stacked streams x 8 heads x 197 tokens x 32;
+# plus a deliberately lane/step-misaligned small case
+SHAPES = [(512, 8, 197, 32), (7, 8, 197, 32), (16, 4, 130, 64)]
+DTYPES = [jnp.float32, jnp.bfloat16]
+IMPLS = ["pallas", "pallas_stream"]
+SPECIALS = [0, 2]
+
+# fwd/grad agreement thresholds vs XLA, same dtype inputs; f32 disagreement
+# is kernel-order noise, bf16 adds cast noise on both sides
+TOL = {jnp.float32: 2e-4, jnp.bfloat16: 2e-2}
+
+
+def run_case(impl: str, shape, dtype, num_special: int) -> float:
+    b, h, n, d = shape
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], shape, dtype)
+    k = jax.random.normal(ks[1], shape, dtype)
+    v = jax.random.normal(ks[2], shape, dtype)
+
+    def loss(q, k, v, impl):
+        o = mha(q, k, v, impl=impl, num_special=num_special)
+        # weighted sum -> non-trivial cotangents
+        w = jnp.arange(o.size, dtype=jnp.float32).reshape(o.shape) % 7
+        return jnp.sum(o.astype(jnp.float32) * w)
+
+    f_ref = jax.jit(jax.value_and_grad(lambda q: loss(q, k, v, "xla")))
+    f_ker = jax.jit(jax.value_and_grad(lambda q: loss(q, k, v, impl)))
+    val_r, g_r = f_ref(q)
+    val_k, g_k = f_ker(q)
+    rel_val = abs(float(val_k) - float(val_r)) / max(1.0, abs(float(val_r)))
+    g_r = np.asarray(g_r, np.float32)
+    g_k = np.asarray(g_k, np.float32)
+    rel_grad = float(
+        np.max(np.abs(g_k - g_r)) / max(1e-6, float(np.max(np.abs(g_r))))
+    )
+    return max(rel_val, rel_grad)
+
+
+def main() -> None:
+    print(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    failures = 0
+    for impl in IMPLS:
+        for shape in SHAPES:
+            for dtype in DTYPES:
+                for sp in SPECIALS:
+                    err = run_case(impl, shape, dtype, sp)
+                    tol = TOL[dtype]
+                    ok = err <= tol
+                    failures += not ok
+                    print(
+                        f"{'PASS' if ok else 'FAIL'} {impl:14s} "
+                        f"B{shape[0]}xH{shape[1]}xN{shape[2]}xD{shape[3]} "
+                        f"{jnp.dtype(dtype).name:9s} special={sp} "
+                        f"rel_err={err:.2e} (tol {tol:.0e})",
+                        flush=True,
+                    )
+    if failures:
+        print(f"{failures} case(s) FAILED")
+        sys.exit(1)
+    print("all kernel cases match XLA on-chip")
+
+
+if __name__ == "__main__":
+    main()
