@@ -5,7 +5,8 @@ LOG_NAME ?= eavit
 NUM_ENVS ?= 64
 CPU_ENV = PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
 
-.PHONY: train eval test run_tests bench profile start_tensorboard dryrun kill help
+.PHONY: train eval test run_tests bench profile start_tensorboard dryrun \
+	kernel_check update_bench maze_ab kill help
 
 train:  ## train with the flagship-style loop (reference: make train)
 	python -m eavit_tpu --train --config_path=$(CONFIG) \
@@ -34,6 +35,19 @@ start_tensorboard:  ## serve logs/tb (reference: make start_tensorboard)
 
 dryrun:  ## multichip sharding dry-run on 8 virtual CPU devices
 	$(CPU_ENV) python __graft_entry__.py 8
+
+kernel_check:  ## on-chip Pallas-vs-XLA attention numerics (needs the TPU)
+	python scripts/tpu_kernel_check.py
+
+update_bench:  ## seconds/update across backbone x kernel modes (needs the TPU)
+	python scripts/update_bench.py
+
+maze_ab:  ## reward-free exploration A/B (RND vs PPO) on the device maze
+	python scripts/maze_ab.py --arm rnd --updates 400 --grid 20 --ep_len 512 \
+		--update_proportion 0.05 --tag _g20
+	python scripts/maze_ab.py --arm ppo --updates 400 --grid 20 --ep_len 512 \
+		--update_proportion 0.05 --tag _g20
+	python scripts/maze_ab_report.py --match g20
 
 kill:  ## stop stray training processes (reference: make kill)
 	pkill -f "python -m eavit_tpu" || true
