@@ -221,6 +221,9 @@ class Config:
     # all envs share ONE world (textures + maze), like N parallel actors in
     # one Atari game — the reference's actual setting
     synthetic_shared_world: bool = False
+    # frame variants per room, shown as steps % V (Montezuma-like frame
+    # variety: RND novelty decays with visitation count, not on first sight)
+    synthetic_variants: int = 1
     # SSL pretraining epoch budget, independent of total_updates (-1 = run
     # forever, like the reference's while-True SSL loop, train.py:342)
     ssl_pretrain_epochs: int = -1
@@ -366,6 +369,7 @@ _KEYMAP: Dict[str, Tuple[Tuple[str, ...], Any]] = {
     "SyntheticMaze": (("synthetic_maze",), _as_bool),
     "SyntheticTexture": (("synthetic_texture",), str),
     "SyntheticSharedWorld": (("synthetic_shared_world",), _as_bool),
+    "SyntheticVariants": (("synthetic_variants",), int),
     "SSLEpochs": (("ssl_pretrain_epochs",), int),
     "EvalEpisodes": (("eval_episodes",), int),
 }

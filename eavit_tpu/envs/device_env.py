@@ -23,11 +23,13 @@ import numpy as np
 
 
 class DeviceEnvParams(NamedTuple):
-    frames: jnp.ndarray  # [N, G, G, H, W] uint8 pre-rendered rooms
-    walls: jnp.ndarray  # [N, G, G, 4] bool — blocked (up, down, left, right)
+    frames: jnp.ndarray  # [W, G, G, V, H, W] uint8 pre-rendered room variants
+    walls: jnp.ndarray  # [W, G, G, 4] bool — blocked (up, down, left, right)
     grid: int
     stack: int
     max_episode_steps: int
+    # NOTE: the leading "world" dim W is num_envs for per-env worlds or 1
+    # for shared_world (deduplicated — no N-fold HBM copy of one world)
 
 
 class DeviceEnvState(NamedTuple):
@@ -85,6 +87,7 @@ def make_device_env(
     maze: bool = False,
     texture: str = "sine",
     shared_world: bool = False,
+    variants: int = 1,
 ) -> Tuple[DeviceEnvParams, DeviceEnvState]:
     """Build per-env room frames (host, once) and the initial device state.
 
@@ -106,15 +109,23 @@ def make_device_env(
     (env 0's), like N parallel actors in one Atari game — the reference's
     actual setting (64 workers, one Montezuma). Per-env worlds split the
     experience N ways: the policy must memorize N separate mazes and each
-    room is seen N-times less often.
+    room is seen N-times less often. Stored deduplicated (world dim 1).
+
+    ``variants > 1`` pre-renders V frame variants per room and shows variant
+    ``steps % V`` — Montezuma-like frame variety (sprites move, timers tick):
+    an RND predictor needs ~V visits to extinguish a room's novelty, so
+    prediction error decays with VISITATION COUNT instead of dying on first
+    sight. The continual-novelty regime for exploration studies.
     """
-    cells = np.empty((num_envs, grid, grid, height, width), np.uint8)
     n_worlds = 1 if shared_world else num_envs
+    cells = np.empty(
+        (n_worlds, grid, grid, variants, height, width), np.uint8
+    )
     if texture == "noise":
         for i in range(n_worlds):
             pat_rng = np.random.default_rng((seed + i) * 7919 + 13)
             cells[i] = pat_rng.integers(
-                0, 256, (grid, grid, height, width), dtype=np.uint8
+                0, 256, (grid, grid, variants, height, width), dtype=np.uint8
             )
     elif texture == "sine":
         yy = np.linspace(0, 4 * np.pi, height)[:, None]
@@ -122,13 +133,13 @@ def make_device_env(
         idx = np.arange(grid * grid).reshape(grid, grid)
         for i in range(n_worlds):
             pat_rng = np.random.default_rng((seed + i) * 7919 + 13)
-            phase = pat_rng.uniform(0, 2 * np.pi, size=(grid, grid, 2))
+            phase = pat_rng.uniform(0, 2 * np.pi, size=(grid, grid, variants, 2))
             c = 127.5 * (
                 1
-                + np.sin(yy[None, None] + phase[..., 0:1, None])
-                * np.cos(xx[None, None] + phase[..., 1:2, None])
+                + np.sin(yy[None, None, None] + phase[..., 0:1, None])
+                * np.cos(xx[None, None, None] + phase[..., 1:2, None])
             )
-            c += 40.0 * (idx[..., None, None] / (grid * grid))
+            c += 40.0 * (idx[..., None, None, None] / (grid * grid))
             cells[i] = np.clip(c, 0, 255).astype(np.uint8)
     else:
         raise ValueError(f"unknown texture: {texture!r}")
@@ -142,9 +153,6 @@ def make_device_env(
         )
     else:
         walls = np.zeros((n_worlds, grid, grid, 4), bool)
-    if shared_world:
-        cells[:] = cells[0]
-        walls = np.broadcast_to(walls, (num_envs,) + walls.shape[1:]).copy()
 
     params = DeviceEnvParams(
         frames=jnp.asarray(cells),
@@ -157,17 +165,26 @@ def make_device_env(
     return params, state
 
 
-def _frame_at(params: DeviceEnvParams, pos: jnp.ndarray) -> jnp.ndarray:
-    """[N, 2] -> [N, H, W] room frames."""
+def _world_idx(params: DeviceEnvParams, n: int) -> jnp.ndarray:
+    """Per-env world index: identity for per-env worlds, all-0 when the
+    world table is deduplicated (shared_world)."""
+    return jnp.arange(n) % params.frames.shape[0]
+
+
+def _frame_at(
+    params: DeviceEnvParams, pos: jnp.ndarray, steps: jnp.ndarray
+) -> jnp.ndarray:
+    """([N, 2], [N]) -> [N, H, W] room frames (variant = steps % V)."""
     n = pos.shape[0]
-    return params.frames[jnp.arange(n), pos[:, 0], pos[:, 1]]
+    v = steps % params.frames.shape[3]
+    return params.frames[_world_idx(params, n), pos[:, 0], pos[:, 1], v]
 
 
 def device_env_reset(params: DeviceEnvParams, num_envs: int) -> DeviceEnvState:
     g = params.grid
     pos = jnp.zeros((num_envs, 2), jnp.int32)
     visited = jnp.zeros((num_envs, g * g), bool).at[:, 0].set(True)
-    frame = _frame_at(params, pos)
+    frame = _frame_at(params, pos, jnp.zeros(num_envs, jnp.int32))
     return DeviceEnvState(
         pos=pos,
         steps=jnp.zeros(num_envs, jnp.int32),
@@ -200,7 +217,9 @@ def device_env_step(
     # gated by moved); blocked moves keep the current position
     dir_idx = jnp.clip(actions - 1, 0, 3)
     moved = actions > 0
-    blocked = params.walls[jnp.arange(n), state.pos[:, 0], state.pos[:, 1], dir_idx]
+    blocked = params.walls[
+        _world_idx(params, n), state.pos[:, 0], state.pos[:, 1], dir_idx
+    ]
     allow = moved & ~blocked
     dy = jnp.where(allow, dy, 0)
     dx = jnp.where(allow, dx, 0)
@@ -219,12 +238,12 @@ def device_env_step(
     truncated = steps >= params.max_episode_steps
     reset = dones | truncated
 
-    frame = _frame_at(params, pos)
+    frame = _frame_at(params, pos, steps)
     shifted = jnp.concatenate([state.stack[:, 1:], frame[:, None]], axis=1)
 
     # auto-reset: back to room (0, 0), fresh visit set, reset-filled stack
     pos0 = jnp.zeros_like(pos)
-    frame0 = _frame_at(params, pos0)
+    frame0 = _frame_at(params, pos0, jnp.zeros_like(steps))
     stack0 = jnp.repeat(frame0[:, None], params.stack, axis=1)
     visited0 = jnp.zeros_like(visited).at[:, 0].set(True)
 

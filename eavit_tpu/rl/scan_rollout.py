@@ -75,8 +75,12 @@ class ScanRolloutCollector:
             value_int=P(None, "data"), policy=P(None, "data"),
         )
         # grid/stack/episode-cap are STATIC shape-determining ints — close
-        # over them; only the per-env frame/wall tables go through shard_map
+        # over them; only the per-env frame/wall tables go through shard_map.
+        # shared_world stores ONE deduplicated world (leading dim 1):
+        # replicate it instead of sharding over envs
         statics = self.env_params
+        n_envs = self.cfg.num_env_per_process
+        world_spec = env0 if statics.frames.shape[0] == n_envs else rep
 
         def sharded(params, frames, walls, env_state, rng):
             ep = statics._replace(frames=frames, walls=walls)
@@ -104,15 +108,15 @@ class ScanRolloutCollector:
         f = jax.shard_map(
             sharded,
             mesh=mesh,
-            in_specs=(rep, env0, env0, state_spec, rep),
+            in_specs=(rep, world_spec, world_spec, state_spec, rep),
             out_specs=(rollout_spec, state_spec, rep),
             check_vma=False,
         )
         jitted = jax.jit(f, donate_argnums=(3,))
-        # place the per-env frame/wall tables on the mesh once
-        sharded_env0 = NamedSharding(mesh, env0)
-        self._frames = jax.device_put(self.env_params.frames, sharded_env0)
-        self._walls = jax.device_put(self.env_params.walls, sharded_env0)
+        # place the world tables on the mesh once
+        world_sharding = NamedSharding(mesh, world_spec)
+        self._frames = jax.device_put(self.env_params.frames, world_sharding)
+        self._walls = jax.device_put(self.env_params.walls, world_sharding)
         self._state_shardings = jax.tree_util.tree_map(
             lambda spec: NamedSharding(mesh, spec), state_spec
         )

@@ -156,6 +156,7 @@ def _train_device_env(cfg: Config, logger: Logger,
         maze=cfg.synthetic_maze,
         texture=cfg.synthetic_texture,
         shared_world=cfg.synthetic_shared_world,
+        variants=cfg.synthetic_variants,
     )
     # device env action set is 5; multi-device runs get the DP agent and a
     # shard_mapped scan rollout (zero-host pipeline scales over the mesh)
@@ -219,6 +220,10 @@ def _train_device_env(cfg: Config, logger: Logger,
 def train(cfg: Config, total_updates: Optional[int] = None,
           profile_updates: int = 0, log_dir: str = "logs") -> Dict[str, Any]:
     from eavit_tpu.parallel.dp import get_dist_info, init_distributed
+
+    if total_updates is None and cfg.total_updates >= 0:
+        # direct train(cfg) callers get cfg.total_updates, same as the CLI
+        total_updates = cfg.total_updates
 
     # multi-host rendezvous BEFORE the first device query (replaces torchrun
     # c10d, reference dist_utils.py:61-77); no-op on a single host

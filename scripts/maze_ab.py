@@ -56,7 +56,7 @@ def make_cfg(arm: str, seed: int, entropy: float = 0.001,
              int_coef: float = 1.0, lr: float = 3e-4,
              maze: bool = True, update_proportion: float = 0.25,
              grid: int = 12, ep_len: int = 384,
-             num_envs: int = 32) -> Config:
+             num_envs: int = 32, variants: int = 1) -> Config:
     return Config(
         entropy_coef=entropy,
         update_proportion=update_proportion,
@@ -70,6 +70,7 @@ def make_cfg(arm: str, seed: int, entropy: float = 0.001,
         max_step_per_episode=ep_len,
         synthetic_grid=grid,
         synthetic_maze=maze,
+        synthetic_variants=variants,
         learning_rate=lr,
         seed=seed,
         obs_norm_step=50,
@@ -81,10 +82,12 @@ def run(arm: str, updates: int, seed: int, out_dir: str,
         entropy: float = 0.001, int_coef: float = 1.0, lr: float = 3e-4,
         tag: str = "", maze: bool = True,
         update_proportion: float = 0.25,
-        grid: int = 12, ep_len: int = 384, num_envs: int = 32) -> None:
+        grid: int = 12, ep_len: int = 384, num_envs: int = 32,
+        variants: int = 1) -> None:
     cfg = make_cfg(arm, seed, entropy=entropy, int_coef=int_coef, lr=lr,
                    maze=maze, update_proportion=update_proportion,
-                   grid=grid, ep_len=ep_len, num_envs=num_envs)
+                   grid=grid, ep_len=ep_len, num_envs=num_envs,
+                   variants=variants)
     setup_jax(cfg)
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{arm}{tag}_seed{seed}.jsonl")
@@ -100,6 +103,7 @@ def run(arm: str, updates: int, seed: int, out_dir: str,
         maze=cfg.synthetic_maze,
         texture="noise",
         shared_world=True,
+        variants=cfg.synthetic_variants,
     )
     agent = RNDAgent(cfg, 5)
     rng = jax.random.PRNGKey(cfg.seed)
@@ -179,8 +183,13 @@ if __name__ == "__main__":
     p.add_argument("--ep_len", type=int, default=384,
                    help="max steps per episode")
     p.add_argument("--num_envs", type=int, default=32)
+    p.add_argument("--variants", type=int, default=1,
+                   help="frame variants per room (steps %% V): continual "
+                        "Montezuma-like novelty — RND error decays with "
+                        "visit count instead of dying on first sight")
     a = p.parse_args()
     run(a.arm, a.updates, a.seed, a.out_dir,
         entropy=a.entropy, int_coef=a.int_coef, lr=a.lr, tag=a.tag,
         maze=not a.no_maze, update_proportion=a.update_proportion,
-        grid=a.grid, ep_len=a.ep_len, num_envs=a.num_envs)
+        grid=a.grid, ep_len=a.ep_len, num_envs=a.num_envs,
+        variants=a.variants)

@@ -147,11 +147,12 @@ def test_shared_world_and_texture_config_threading(tmp_path):
     conf.write_text(
         "[DEFAULT]\nEnvType = synthetic_device\nSyntheticMaze = True\n"
         "SyntheticTexture = noise\nSyntheticSharedWorld = True\n"
-        "SyntheticGrid = 4\n"
+        "SyntheticGrid = 4\nSyntheticVariants = 3\n"
     )
     cfg = load_config(str(conf))
     assert cfg.synthetic_maze and cfg.synthetic_shared_world
     assert cfg.synthetic_texture == "noise"
+    assert cfg.synthetic_variants == 3
 
     from eavit_tpu.envs.device_env import make_device_env
 
@@ -159,12 +160,32 @@ def test_shared_world_and_texture_config_threading(tmp_path):
         3, seed=cfg.seed, grid=cfg.synthetic_grid,
         maze=cfg.synthetic_maze, texture=cfg.synthetic_texture,
         shared_world=cfg.synthetic_shared_world,
+        variants=cfg.synthetic_variants,
     )
     f = np.asarray(p.frames)
     w = np.asarray(p.walls)
-    assert (f == f[0]).all() and (w == w[0]).all()
+    # shared world is DEDUPLICATED: one world entry serves every env
+    assert f.shape[0] == 1 and w.shape[0] == 1
+    assert f.shape[3] == 3  # variant dim
     # maze mode: at least one wall blocked somewhere
     assert w.any()
+
+
+def test_variants_cycle_with_steps():
+    """variants=V shows room variant steps %% V; V=1 is the bit-exact
+    single-frame world (continual-novelty regime, envs/device_env.py)."""
+    params, state = make_device_env(
+        1, seed=3, grid=4, max_episode_steps=50, variants=3, texture="noise"
+    )
+    step = jax.jit(lambda s, a: device_env_step(params, s, a))
+    frames = []
+    for _ in range(4):
+        state, _, _, _ = step(state, jnp.asarray([0]))  # noop: same room
+        frames.append(np.asarray(state.stack[0, -1]))
+    # steps 1,2,0,1 (mod 3): frame cycles with period 3 in one room
+    assert not (frames[0] == frames[1]).all()
+    assert (frames[0] == frames[3]).all()
+    assert not (frames[1] == frames[2]).all()
 
 
 def test_ever_visited_survives_resets():
