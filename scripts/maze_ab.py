@@ -56,14 +56,15 @@ def make_cfg(arm: str, seed: int, entropy: float = 0.001,
              int_coef: float = 1.0, lr: float = 3e-4,
              maze: bool = True, update_proportion: float = 0.25,
              grid: int = 12, ep_len: int = 384,
-             num_envs: int = 32, variants: int = 1) -> Config:
+             num_envs: int = 32, variants: int = 1,
+             ext_coef: float = 0.0) -> Config:
     return Config(
         entropy_coef=entropy,
         update_proportion=update_proportion,
         train_method=(
             TrainMethod.ORIGINAL_RND if arm == "rnd" else TrainMethod.PPO
         ),
-        ext_coef=0.0,
+        ext_coef=ext_coef,
         int_coef=int_coef,
         num_env_per_process=num_envs,
         num_step=128,
@@ -83,11 +84,11 @@ def run(arm: str, updates: int, seed: int, out_dir: str,
         tag: str = "", maze: bool = True,
         update_proportion: float = 0.25,
         grid: int = 12, ep_len: int = 384, num_envs: int = 32,
-        variants: int = 1) -> None:
+        variants: int = 1, ext_coef: float = 0.0) -> None:
     cfg = make_cfg(arm, seed, entropy=entropy, int_coef=int_coef, lr=lr,
                    maze=maze, update_proportion=update_proportion,
                    grid=grid, ep_len=ep_len, num_envs=num_envs,
-                   variants=variants)
+                   variants=variants, ext_coef=ext_coef)
     setup_jax(cfg)
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{arm}{tag}_seed{seed}.jsonl")
@@ -187,9 +188,13 @@ if __name__ == "__main__":
                    help="frame variants per room (steps %% V): continual "
                         "Montezuma-like novelty — RND error decays with "
                         "visit count instead of dying on first sight")
+    p.add_argument("--ext_coef", type=float, default=0.0,
+                   help="extrinsic advantage coefficient; 0 = reward-free "
+                        "A/B, 2 = the reference flagship's ext+int vs "
+                        "ext-only comparison (IntCoef=1 ExtCoef=2)")
     a = p.parse_args()
     run(a.arm, a.updates, a.seed, a.out_dir,
         entropy=a.entropy, int_coef=a.int_coef, lr=a.lr, tag=a.tag,
         maze=not a.no_maze, update_proportion=a.update_proportion,
         grid=a.grid, ep_len=a.ep_len, num_envs=a.num_envs,
-        variants=a.variants)
+        variants=a.variants, ext_coef=a.ext_coef)
