@@ -169,7 +169,7 @@ def test_rms_cross_device_pmean_sync():
     # With axis_name, all devices converge to identical pooled statistics.
     import functools
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     devs = jax.devices()
     assert len(devs) == 8, f"conftest should give 8 cpu devices, got {len(devs)}"
