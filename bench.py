@@ -30,7 +30,8 @@ re-measurement and divide by the recorded 62.5 fps instead.
 Env knobs: BENCH_UPDATES (timed optimized updates, default 3),
 BENCH_NAIVE_UPDATES (timed naive updates, default 1), BENCH_NUM_ENVS,
 BENCH_NUM_STEP, BENCH_FAST=1 (recorded baseline, no live naive),
-BENCH_NAIVE_FPS (override the baseline), BENCH_DEVICE_ENV=1 (zero-host
+BENCH_NAIVE_FPS (override the baseline), BENCH_NO_OVERLAP=1 (disable the
+double-buffered host-env/device overlap), BENCH_DEVICE_ENV=1 (zero-host
 scan-rollout pipeline), BENCH_SHARED=1 (fused dual-query shared-KV
 backbone, SharedPatchStream).
 """
@@ -69,6 +70,9 @@ def flagship_cfg(**kw) -> Config:
         obs_norm_step=0,  # warm-up excluded from throughput measurement
         max_step_per_episode=4500,
         shared_patch_stream=os.environ.get("BENCH_SHARED") == "1",
+        # BENCH_NO_OVERLAP=1 disables the double-buffered half-fleet rollout
+        # so the host-env overlap gain is measurable as a same-chip A/B
+        async_env_pool=os.environ.get("BENCH_NO_OVERLAP") != "1",
     )
     base.update(kw)
     return Config(**base)
