@@ -2,10 +2,12 @@
 
 Workload shape (flagship config): 197-token sequences (196 patches + 1
 exploration/exploitation token), 8 heads of dim 32, batch = 2B stacked token
-streams. Each grid cell processes a BLOCK of batch elements with ALL their
-heads as one batched MXU contraction — scores, numerically-stable softmax,
-and the PV matmul stay in VMEM with no [B, H, N, N] HBM materialization.
-The batch block size is chosen so the fp32 score tensor fits a VMEM budget.
+streams. (batch, heads) are flattened into one row axis and each grid cell
+processes a BLOCK of fused rows as one batched MXU contraction — scores,
+numerically-stable softmax, and the PV matmul stay in VMEM with no
+[B, H, N, N] HBM materialization. The row-block size is chosen so the fp32
+score tensor fits a VMEM budget (backward gets a smaller budget: it keeps
+twice as many N^2 temporaries live).
 
 Both forward and backward are Pallas kernels wired through `jax.custom_vjp`
 (backward recomputes the probability matrix from the saved logsumexp — the
@@ -31,10 +33,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
-# fp32 score tensor budget per grid cell; the probability tensor of the same
-# size coexists with it, plus q/k/v/o blocks — keep the pair under ~1/3 of
-# the 16MB VMEM so the compiler has headroom for double-buffering.
-_SCORE_VMEM_BUDGET = 2 * 1024 * 1024
+# fp32 score-tensor budget per grid cell. (batch, heads) are flattened into
+# ONE row axis and blocked over it, so the grid can subdivide heads when a
+# single batch element's scores would blow VMEM. The backward kernel keeps
+# ~4 N^2-sized fp32 temporaries live (s, p, dp, ds) vs the forward's 2, so
+# it gets half the score budget — measured on v5e: the old per-batch-element
+# blocking OOMed scoped VMEM (18M > 16M limit) at the flagship f32 shape.
+_FWD_SCORE_BUDGET = 2 * 1024 * 1024
+_BWD_SCORE_BUDGET = 1024 * 1024
 
 
 def _pad_to(x: int, m: int) -> int:
@@ -45,10 +51,10 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _batch_block(bh_heads: int, n_pad: int) -> int:
-    """Batch elements per grid cell, sized to the VMEM score budget."""
-    per_elem = bh_heads * n_pad * n_pad * 4  # fp32 scores for one batch elem
-    return max(1, _SCORE_VMEM_BUDGET // per_elem)
+def _rows_block(n_pad: int, budget: int) -> int:
+    """(batch*head) rows per grid cell, sized to the VMEM score budget."""
+    per_row = n_pad * n_pad * 4  # fp32 scores for one fused row
+    return max(1, budget // per_row)
 
 
 # ---------------------------------------------------------------------------
@@ -59,15 +65,14 @@ def _batch_block(bh_heads: int, n_pad: int) -> int:
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, n: int, num_special: int
 ):
-    bb, h, n_pad, d = q_ref.shape
-    # fold (BB, H) into ONE batch dim (Mosaic matmul supports a single one)
-    q = q_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
-    k = k_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
-    v = v_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
+    # refs are [G, Np, D]: G fused (batch*head) rows per grid cell
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
 
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale  # [BB*H, Np, Np]
+    ) * scale  # [G, Np, Np]
 
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     s = jnp.where(col < n, s, -jnp.inf)
@@ -86,39 +91,43 @@ def _fwd_kernel(
     o = jax.lax.dot_general(
         p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) / l
-    o_ref[...] = o.reshape(bb, h, n_pad, d).astype(o_ref.dtype)
-    lse_ref[...] = (m + jnp.log(l)).reshape(bb, h, n_pad, 1)
+    o_ref[...] = o.astype(o_ref.dtype)
+    lse_ref[...] = m + jnp.log(l)
 
 
 def _fwd(q, k, v, scale: float, num_special: int):
     b, h, n, d = q.shape
+    bh = b * h
     n_pad = _pad_to(n, _LANE)
-    bb = _batch_block(h, n_pad)
-    b_pad = _pad_to(b, bb)
-    pad = [(0, b_pad - b), (0, 0), (0, n_pad - n), (0, 0)]
-    qp, kp, vp = (jnp.pad(t, pad) for t in (q, k, v))
+    g = _rows_block(n_pad, _FWD_SCORE_BUDGET)
+    bh_pad = _pad_to(bh, g)
+    pad = [(0, bh_pad - bh), (0, n_pad - n), (0, 0)]
+    qp, kp, vp = (jnp.pad(t.reshape(bh, n, d), pad) for t in (q, k, v))
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, n=n, num_special=num_special
     )
     block = pl.BlockSpec(
-        (bb, h, n_pad, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (g, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     lse_block = pl.BlockSpec(
-        (bb, h, n_pad, 1), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (g, n_pad, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     o, lse = pl.pallas_call(
         kernel,
-        grid=(b_pad // bb,),
+        grid=(bh_pad // g,),
         in_specs=[block, block, block],
         out_specs=[block, lse_block],
         out_shape=[
-            jax.ShapeDtypeStruct((b_pad, h, n_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((b_pad, h, n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bh_pad, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh_pad, n_pad, 1), jnp.float32),
         ],
         interpret=_interpret(),
     )(qp, kp, vp)
-    return o[:b, :, :n], lse[:b, :, :n, 0]
+    return (
+        o[:bh, :n].reshape(b, h, n, d),
+        lse[:bh, :n, 0].reshape(b, h, n),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -130,17 +139,17 @@ def _bwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
     dq_ref, dk_ref, dv_ref, *, scale: float, n: int, num_special: int,
 ):
-    bb, h, n_pad, d = q_ref.shape
-    q = q_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
-    k = k_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
-    v = v_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
-    o = o_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
-    do = do_ref[...].astype(jnp.float32).reshape(bb * h, n_pad, d)
-    lse = lse_ref[...].reshape(bb * h, n_pad, 1)
+    # refs are [G, Np, D] / [G, Np, 1]: G fused (batch*head) rows per cell
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    o = o_ref[...].astype(jnp.float32)
+    do = do_ref[...].astype(jnp.float32)
+    lse = lse_ref[...]
 
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale  # [BB*H, Np, Np]
+    ) * scale  # [G, Np, Np]
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n, s, -jnp.inf)
@@ -166,44 +175,50 @@ def _bwd_kernel(
     dk = jax.lax.dot_general(
         ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    dq_ref[...] = dq.reshape(bb, h, n_pad, d).astype(dq_ref.dtype)
-    dk_ref[...] = dk.reshape(bb, h, n_pad, d).astype(dk_ref.dtype)
-    dv_ref[...] = dv.reshape(bb, h, n_pad, d).astype(dv_ref.dtype)
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
-def _bwd(scale: float, num_special: int, res, g):
+def _bwd(scale: float, num_special: int, res, cot):
     q, k, v, o, lse = res
-    do = g
+    do = cot
     b, h, n, d = q.shape
+    bh = b * h
     n_pad = _pad_to(n, _LANE)
-    bb = _batch_block(h, n_pad)
-    b_pad = _pad_to(b, bb)
-    pad = [(0, b_pad - b), (0, 0), (0, n_pad - n), (0, 0)]
-    qp, kp, vp, op, dop = (jnp.pad(t, pad) for t in (q, k, v, o, do))
-    lsep = jnp.pad(lse, [(0, b_pad - b), (0, 0), (0, n_pad - n)])[..., None]
+    g = _rows_block(n_pad, _BWD_SCORE_BUDGET)
+    bh_pad = _pad_to(bh, g)
+    pad = [(0, bh_pad - bh), (0, n_pad - n), (0, 0)]
+    qp, kp, vp, op, dop = (
+        jnp.pad(t.reshape(bh, n, d), pad) for t in (q, k, v, o, do)
+    )
+    lsep = jnp.pad(
+        lse.reshape(bh, n), [(0, bh_pad - bh), (0, n_pad - n)]
+    )[..., None]
 
     kernel = functools.partial(
         _bwd_kernel, scale=scale, n=n, num_special=num_special
     )
     block = pl.BlockSpec(
-        (bb, h, n_pad, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (g, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     lse_block = pl.BlockSpec(
-        (bb, h, n_pad, 1), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (g, n_pad, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(b_pad // bb,),
+        grid=(bh_pad // g,),
         in_specs=[block, block, block, block, lse_block, block],
         out_specs=[block, block, block],
         out_shape=[
-            jax.ShapeDtypeStruct((b_pad, h, n_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((b_pad, h, n_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((b_pad, h, n_pad, d), v.dtype),
+            jax.ShapeDtypeStruct((bh_pad, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh_pad, n_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh_pad, n_pad, d), v.dtype),
         ],
         interpret=_interpret(),
     )(qp, kp, vp, op, lsep, dop)
-    return dq[:b, :, :n], dk[:b, :, :n], dv[:b, :, :n]
+    cut = lambda t: t[:bh, :n].reshape(b, h, n, d)
+    return cut(dq), cut(dk), cut(dv)
 
 
 # ---------------------------------------------------------------------------
