@@ -32,8 +32,8 @@ BENCH_NAIVE_UPDATES (timed naive updates, default 1), BENCH_NUM_ENVS,
 BENCH_NUM_STEP, BENCH_FAST=1 (recorded baseline, no live naive),
 BENCH_NAIVE_FPS (override the baseline), BENCH_NO_OVERLAP=1 (disable the
 double-buffered host-env/device overlap), BENCH_DEVICE_ENV=1 (zero-host
-scan-rollout pipeline), BENCH_SHARED=1 (fused dual-query shared-KV
-backbone, SharedPatchStream).
+scan-rollout pipeline), BENCH_SHARED=0 (exact stacked dual-token backbone
+instead of the flagship default fused dual-query SharedPatchStream mode).
 """
 
 from __future__ import annotations
@@ -69,7 +69,12 @@ def flagship_cfg(**kw) -> Config:
         mini_batch=32,
         obs_norm_step=0,  # warm-up excluded from throughput measurement
         max_step_per_episode=4500,
-        shared_patch_stream=os.environ.get("BENCH_SHARED") == "1",
+        # flagship default: the fused dual-query shared-patch-stream backbone
+        # (2.02x update, learning-equivalent on the maze A/B — BASELINE.md
+        # round 2; the shipped flagship .confs set it too). BENCH_SHARED=0
+        # benches the exact stacked dual-token semantics instead. The naive
+        # arm always runs exact semantics (the reference's execution model).
+        shared_patch_stream=os.environ.get("BENCH_SHARED", "1") == "1",
         # BENCH_NO_OVERLAP=1 disables the double-buffered half-fleet rollout
         # so the host-env overlap gain is measurable as a same-chip A/B
         async_env_pool=os.environ.get("BENCH_NO_OVERLAP") != "1",

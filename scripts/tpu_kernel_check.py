@@ -50,8 +50,14 @@ def run_case(impl: str, shape, dtype, num_special: int) -> float:
 
     f_ref = jax.jit(jax.value_and_grad(lambda q: loss(q, k, v, "xla")))
     f_ker = jax.jit(jax.value_and_grad(lambda q: loss(q, k, v, impl)))
-    val_r, g_r = f_ref(q)
-    val_k, g_k = f_ker(q)
+    # f32 cases force true-f32 matmuls on the MXU: at DEFAULT precision both
+    # paths multiply in bf16 with different blocking/summation order, which
+    # shows up as ~5e-3 mutual "error" that says nothing about kernel
+    # correctness (measured on v5e). bf16 cases keep production precision.
+    prec = "highest" if dtype == jnp.float32 else "default"
+    with jax.default_matmul_precision(prec):
+        val_r, g_r = f_ref(q)
+        val_k, g_k = f_ker(q)
     rel_val = abs(float(val_k) - float(val_r)) / max(1.0, abs(float(val_r)))
     g_r = np.asarray(g_r, np.float32)
     g_k = np.asarray(g_k, np.float32)
