@@ -24,8 +24,14 @@ import numpy as np
 from eavit_tpu.ops.attention import mha
 
 # (B, H, N, Dh): flagship = 512 stacked streams x 8 heads x 197 tokens x 32;
-# plus a deliberately lane/step-misaligned small case
-SHAPES = [(512, 8, 197, 32), (7, 8, 197, 32), (16, 4, 130, 64)]
+# plus a deliberately lane/step-misaligned small case. The KV-streaming
+# kernel gets its own shape set in its own regime — long sequences, modest
+# batch (checking it at B512 under highest-precision f32 compiles for tens
+# of minutes and proves nothing about its target workload).
+SHAPES = {
+    "pallas": [(512, 8, 197, 32), (7, 8, 197, 32), (16, 4, 130, 64)],
+    "pallas_stream": [(7, 8, 197, 32), (16, 4, 130, 64), (4, 4, 640, 64)],
+}
 DTYPES = [jnp.float32, jnp.bfloat16]
 IMPLS = ["pallas", "pallas_stream"]
 SPECIALS = [0, 2]
@@ -68,10 +74,16 @@ def run_case(impl: str, shape, dtype, num_special: int) -> float:
 
 
 def main() -> None:
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--impls", type=str, default=",".join(IMPLS),
+                   help="comma-separated subset of kernels to check")
+    impls = p.parse_args().impls.split(",")
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     failures = 0
-    for impl in IMPLS:
-        for shape in SHAPES:
+    for impl in impls:
+        for shape in SHAPES[impl]:
             for dtype in DTYPES:
                 for sp in SPECIALS:
                     err = run_case(impl, shape, dtype, sp)
