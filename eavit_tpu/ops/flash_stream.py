@@ -35,9 +35,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Tile sizes. Bigger K blocks cut grid-cell count (per-cell fixed costs and
+# DMA pipeline bubbles dominate at small tiles — measured on v5e, see
+# BASELINE.md round 2); [BLOCK_Q, BLOCK_K] f32 scores must stay well under
+# VMEM. Overridable for sweeps via set_blocks().
 BLOCK_Q = 128
 BLOCK_K = 128
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def set_blocks(bq: int, bk: int) -> None:
+    """Override tile sizes (bench sweeps; both must be lane multiples)."""
+    global BLOCK_Q, BLOCK_K
+    assert bq % 128 == 0 and bk % 128 == 0, (bq, bk)
+    BLOCK_Q, BLOCK_K = bq, bk
 
 
 def _pad_to(x: int, m: int) -> int:

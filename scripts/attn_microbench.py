@@ -63,12 +63,39 @@ def bench_case(impl: str, shape, dtype, iters: int = 10) -> float:
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def sweep_stream(dtype, iters: int) -> None:
+    """Tile-size sweep for the KV-streaming kernel (grid-cell overhead vs
+    VMEM pressure) at a mid and a long sequence length."""
+    from eavit_tpu.ops import flash_stream
+
+    for shape in [(64, 8, 785, 64), (16, 8, 3137, 64)]:
+        xla_ms = bench_case("xla", shape, dtype, iters)
+        print(f"{shape}: xla={xla_ms:.2f}ms", flush=True)
+        for bq in (128, 256, 512):
+            for bk in (128, 256, 512):
+                flash_stream.set_blocks(bq, bk)
+                try:
+                    ms = bench_case("pallas_stream", shape, dtype, iters)
+                    print(f"  bq={bq:3d} bk={bk:3d}: {ms:8.2f}ms", flush=True)
+                except Exception as e:
+                    print(f"  bq={bq:3d} bk={bk:3d}: {type(e).__name__}",
+                          flush=True)
+        flash_stream.set_blocks(128, 128)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--sweep_stream", action="store_true",
+                   help="tile-size sweep for the streaming kernel")
     a = p.parse_args()
+    if a.sweep_stream:
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[a.dtype]
+        print(f"backend: {jax.default_backend()}  dtype: {a.dtype}")
+        sweep_stream(dtype, a.iters)
+        return
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[a.dtype]
     print(f"backend: {jax.default_backend()}  dtype: {a.dtype}")
     for shape in SHAPES:
