@@ -6,7 +6,7 @@ NUM_ENVS ?= 64
 CPU_ENV = PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
 
 .PHONY: train eval test run_tests bench profile start_tensorboard dryrun \
-	kernel_check update_bench maze_ab kill help
+	kernel_check update_bench maze_ab attn_bench bench_battery kill help
 
 train:  ## train with the flagship-style loop (reference: make train)
 	python -m eavit_tpu --train --config_path=$(CONFIG) \
@@ -44,10 +44,16 @@ update_bench:  ## seconds/update across backbone x kernel modes (needs the TPU)
 
 maze_ab:  ## reward-free exploration A/B (RND vs PPO) on the device maze
 	python scripts/maze_ab.py --arm rnd --updates 400 --grid 20 --ep_len 512 \
-		--update_proportion 0.05 --tag _g20
+		--variants 16 --int_coef 10 --tag _g20v16ic10
 	python scripts/maze_ab.py --arm ppo --updates 400 --grid 20 --ep_len 512 \
-		--update_proportion 0.05 --tag _g20
-	python scripts/maze_ab_report.py --match g20
+		--variants 16 --int_coef 10 --tag _g20v16ic10
+	python scripts/maze_ab_report.py --match g20v16ic10
+
+attn_bench:  ## attention kernel sweep across sequence lengths (needs the TPU)
+	python scripts/attn_microbench.py
+
+bench_battery:  ## full perf battery -> logs/bench_battery_r2.log (needs the TPU)
+	bash scripts/bench_battery_r2.sh
 
 kill:  ## stop stray training processes (reference: make kill)
 	pkill -f "python -m eavit_tpu" || true
