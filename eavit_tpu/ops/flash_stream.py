@@ -35,20 +35,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tile sizes. Bigger K blocks cut grid-cell count (per-cell fixed costs and
-# DMA pipeline bubbles dominate at small tiles — measured on v5e, see
-# BASELINE.md round 2); [BLOCK_Q, BLOCK_K] f32 scores must stay well under
-# VMEM. Overridable for sweeps via set_blocks().
-BLOCK_Q = 128
-BLOCK_K = 128
+# Tile sizes: auto = min(512, padded N) per axis. Bigger tiles cut
+# grid-cell count — per-cell fixed costs and DMA pipeline bubbles dominate
+# at 128x128 (measured on v5e: 512x512 is 2.3-2.8x faster and takes the
+# kernel PAST XLA at N=3137, 47 vs 59 ms fwd+bwd; BASELINE.md round 2).
+# [BLOCK_Q, BLOCK_K] f32 score tiles stay well under VMEM at 512x512 (1MB).
+# set_blocks() pins explicit sizes for sweeps; set_blocks(None, None) = auto.
+BLOCK_Q: int | None = None
+BLOCK_K: int | None = None
+_MAX_BLOCK = 512
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def set_blocks(bq: int, bk: int) -> None:
-    """Override tile sizes (bench sweeps; both must be lane multiples)."""
+def set_blocks(bq: int | None, bk: int | None) -> None:
+    """Override tile sizes (bench sweeps; lane multiples), None = auto."""
     global BLOCK_Q, BLOCK_K
-    assert bq % 128 == 0 and bk % 128 == 0, (bq, bk)
+    assert bq is None or bq % 128 == 0, bq
+    assert bk is None or bk % 128 == 0, bk
     BLOCK_Q, BLOCK_K = bq, bk
+
+
+def _blocks(n: int) -> tuple:
+    auto = min(_MAX_BLOCK, _pad_to(n, 128))
+    return (BLOCK_Q or auto, BLOCK_K or auto)
 
 
 def _pad_to(x: int, m: int) -> int:
@@ -118,21 +127,22 @@ def _fwd_kernel(
 
 def _fwd(q, k, v, scale: float, num_special: int):
     bh, n, d = q.shape
-    n_pad = _pad_to(n, max(BLOCK_Q, BLOCK_K))
+    blk_q, blk_k = _blocks(n)
+    n_pad = _pad_to(n, max(blk_q, blk_k))
     pad = [(0, 0), (0, n_pad - n), (0, 0)]
     qp, kp, vp = (jnp.pad(t, pad) for t in (q, k, v))
-    n_q, n_k = n_pad // BLOCK_Q, n_pad // BLOCK_K
+    n_q, n_k = n_pad // blk_q, n_pad // blk_k
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, n=n, num_special=num_special, n_k=n_k
     )
-    q_spec = pl.BlockSpec((1, BLOCK_Q, d), lambda b, i, j: (b, i, 0),
+    q_spec = pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, BLOCK_K, d), lambda b, i, j: (b, j, 0),
+    kv_spec = pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0),
                            memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((1, BLOCK_Q, d), lambda b, i, j: (b, i, 0),
+    o_spec = pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0),
                           memory_space=pltpu.VMEM)
-    lse_spec = pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i, j: (b, i, 0),
+    lse_spec = pl.BlockSpec((1, blk_q, 1), lambda b, i, j: (b, i, 0),
                             memory_space=pltpu.VMEM)
     o, lse = pl.pallas_call(
         kernel,
@@ -144,9 +154,9 @@ def _fwd(q, k, v, scale: float, num_special: int):
             jax.ShapeDtypeStruct((bh, n_pad, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BLOCK_Q, d), jnp.float32),  # acc
-            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),  # m
-            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),  # l
+            pltpu.VMEM((blk_q, d), jnp.float32),  # acc
+            pltpu.VMEM((blk_q, 1), jnp.float32),  # m
+            pltpu.VMEM((blk_q, 1), jnp.float32),  # l
         ],
         interpret=_interpret(),
     )(qp, kp, vp)
@@ -244,20 +254,21 @@ def _bwd(scale: float, num_special: int, res, g):
     q, k, v, o, lse = res
     do = g
     bh, n, d = q.shape
-    n_pad = _pad_to(n, max(BLOCK_Q, BLOCK_K))
+    blk_q, blk_k = _blocks(n)
+    n_pad = _pad_to(n, max(blk_q, blk_k))
     pad = [(0, 0), (0, n_pad - n), (0, 0)]
     qp, kp, vp, dop = (jnp.pad(t, pad) for t in (q, k, v, do))
     # delta = rowsum(dO * O), computed in XLA (cheap elementwise+reduce)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     deltap = jnp.pad(delta, [(0, 0), (0, n_pad - n)])[..., None]
     lsep = jnp.pad(lse, [(0, 0), (0, n_pad - n)])[..., None]
-    n_q, n_k = n_pad // BLOCK_Q, n_pad // BLOCK_K
+    n_q, n_k = n_pad // blk_q, n_pad // blk_k
 
-    q_spec = pl.BlockSpec((1, BLOCK_Q, d), lambda b, i, j: (b, i, 0),
+    q_spec = pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec_q = pl.BlockSpec((1, BLOCK_K, d), lambda b, i, j: (b, j, 0),
+    kv_spec_q = pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0),
                              memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i, j: (b, i, 0),
+    row_spec = pl.BlockSpec((1, blk_q, 1), lambda b, i, j: (b, i, 0),
                             memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
         functools.partial(
@@ -267,16 +278,16 @@ def _bwd(scale: float, num_special: int, res, g):
         in_specs=[q_spec, kv_spec_q, kv_spec_q, row_spec, row_spec, q_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((BLOCK_Q, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((blk_q, d), jnp.float32)],
         interpret=_interpret(),
     )(qp, kp, vp, lsep, deltap, dop)
 
     # dk/dv: key blocks on grid axis 1, query blocks streamed on axis 2
-    q_spec2 = pl.BlockSpec((1, BLOCK_Q, d), lambda b, i, j: (b, j, 0),
+    q_spec2 = pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, j, 0),
                            memory_space=pltpu.VMEM)
-    kv_spec2 = pl.BlockSpec((1, BLOCK_K, d), lambda b, i, j: (b, i, 0),
+    kv_spec2 = pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, i, 0),
                             memory_space=pltpu.VMEM)
-    row_spec2 = pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i, j: (b, j, 0),
+    row_spec2 = pl.BlockSpec((1, blk_q, 1), lambda b, i, j: (b, j, 0),
                              memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(
@@ -290,8 +301,8 @@ def _bwd(scale: float, num_special: int, res, g):
             jax.ShapeDtypeStruct((bh, n_pad, d), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BLOCK_K, d), jnp.float32),
-            pltpu.VMEM((BLOCK_K, d), jnp.float32),
+            pltpu.VMEM((blk_k, d), jnp.float32),
+            pltpu.VMEM((blk_k, d), jnp.float32),
         ],
         interpret=_interpret(),
     )(qp, kp, vp, lsep, deltap, dop)
