@@ -43,6 +43,15 @@ _FWD_SCORE_BUDGET = 2 * 1024 * 1024
 _BWD_SCORE_BUDGET = 1024 * 1024
 
 
+def set_budgets(fwd: int | None = None, bwd: int | None = None) -> None:
+    """Override the per-cell score budgets (bytes) for on-chip sweeps."""
+    global _FWD_SCORE_BUDGET, _BWD_SCORE_BUDGET
+    if fwd is not None:
+        _FWD_SCORE_BUDGET = fwd
+    if bwd is not None:
+        _BWD_SCORE_BUDGET = bwd
+
+
 def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
