@@ -57,14 +57,19 @@ def make_cfg(arm: str, seed: int, entropy: float = 0.001,
              maze: bool = True, update_proportion: float = 0.25,
              grid: int = 12, ep_len: int = 384,
              num_envs: int = 32, variants: int = 1,
-             ext_coef: float = 0.0, shared: bool = False) -> Config:
+             ext_coef: float = 0.0, shared: bool = False,
+             modified: bool = False) -> Config:
+    if arm == "rnd":
+        method = (
+            TrainMethod.MODIFIED_RND if modified else TrainMethod.ORIGINAL_RND
+        )
+    else:
+        method = TrainMethod.PPO
     return Config(
         shared_patch_stream=shared,
         entropy_coef=entropy,
         update_proportion=update_proportion,
-        train_method=(
-            TrainMethod.ORIGINAL_RND if arm == "rnd" else TrainMethod.PPO
-        ),
+        train_method=method,
         ext_coef=ext_coef,
         int_coef=int_coef,
         num_env_per_process=num_envs,
@@ -86,11 +91,12 @@ def run(arm: str, updates: int, seed: int, out_dir: str,
         update_proportion: float = 0.25,
         grid: int = 12, ep_len: int = 384, num_envs: int = 32,
         variants: int = 1, ext_coef: float = 0.0,
-        shared: bool = False) -> None:
+        shared: bool = False, modified: bool = False) -> None:
     cfg = make_cfg(arm, seed, entropy=entropy, int_coef=int_coef, lr=lr,
                    maze=maze, update_proportion=update_proportion,
                    grid=grid, ep_len=ep_len, num_envs=num_envs,
-                   variants=variants, ext_coef=ext_coef, shared=shared)
+                   variants=variants, ext_coef=ext_coef, shared=shared,
+                   modified=modified)
     setup_jax(cfg)
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{arm}{tag}_seed{seed}.jsonl")
@@ -190,6 +196,9 @@ if __name__ == "__main__":
                    help="frame variants per room (steps %% V): continual "
                         "Montezuma-like novelty — RND error decays with "
                         "visit count instead of dying on first sight")
+    p.add_argument("--modified", action="store_true",
+                   help="rnd arm uses modified_RND (MLP predictor/target "
+                        "over backbone embeddings) instead of original_RND")
     p.add_argument("--shared", action="store_true",
                    help="shared-patch-stream backbone (SURVEY §5 fused "
                         "dual-query attention, ~2x faster update): used for "
@@ -203,4 +212,5 @@ if __name__ == "__main__":
         entropy=a.entropy, int_coef=a.int_coef, lr=a.lr, tag=a.tag,
         maze=not a.no_maze, update_proportion=a.update_proportion,
         grid=a.grid, ep_len=a.ep_len, num_envs=a.num_envs,
-        variants=a.variants, ext_coef=a.ext_coef, shared=a.shared)
+        variants=a.variants, ext_coef=a.ext_coef, shared=a.shared,
+        modified=a.modified)
