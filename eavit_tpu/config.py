@@ -208,8 +208,12 @@ class Config:
     data_axis_size: int = 1  # data-parallel mesh size (devices)
     # ThreadVectorEnv workers (envs step concurrently with each other) PLUS
     # half-fleet double-buffered rollouts: the host steps one half's envs
-    # while the device acts on the other half (rl/device_rollout.py)
-    async_env_pool: bool = True
+    # while the device acts on the other half (rl/device_rollout.py).
+    # Default OFF: on a high-latency host<->device link the two half-fleet
+    # dispatches cost more than the overlap buys (measured 3x alternating
+    # A/B on the tunneled v5e: ~330 vs ~430 fps serial, logs/overlap_ab.log);
+    # enable on co-located TPU hosts where dispatch latency is ~us.
+    async_env_pool: bool = False
     total_updates: int = -1  # -1 = run forever (reference train.py:580)
     synthetic_grid: int = 8  # room-grid side length of the synthetic env
     # DFS spanning-tree maze walls for the synthetic/device env (hard-
