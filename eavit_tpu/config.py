@@ -473,6 +473,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="SSL pretraining epochs (-1 = run forever)")
     p.add_argument("--num_episodes", type=int, default=None,
                    help="eval: stop after N episodes (-1 = run forever)")
+    p.add_argument("--greedy", action="store_true", default=False,
+                   help="eval: argmax/mean actions instead of sampling "
+                        "(the reference's eval samples, eval.py:198-299)")
     return p
 
 

@@ -25,6 +25,7 @@ def evaluate(
     num_episodes: int = 1,
     render: bool = False,
     save_intrinsic_trace: Optional[str] = None,
+    greedy: bool = False,
 ) -> Dict[str, Any]:
     from eavit_tpu.config import EnvType
     from eavit_tpu.train import setup_jax
@@ -64,9 +65,13 @@ def evaluate(
     # until killed)
     while num_episodes < 0 or episodes < num_episodes:
         rng, k = jax.random.split(rng)
-        # eval mode: deterministic forwards (set_mode("eval"), eval.py:191)
+        # eval mode: deterministic forwards (set_mode("eval"), eval.py:191).
+        # NOTE the reference's eval still SAMPLES from the softmax
+        # (eval.py:198-299); ``greedy`` argmax playback is a TPU-build
+        # addition behind --greedy.
         actions, v_ext, v_int, _ = agent.act(
-            state.params, jnp.asarray(states), k, deterministic_model=True
+            state.params, jnp.asarray(states), k,
+            deterministic_model=True, greedy=greedy,
         )
         actions = np.asarray(actions)
         states, rewards, dones, truns, infos = env.step(actions)
@@ -110,5 +115,10 @@ def main(args) -> None:
     cfg = config_from_args(args)
     # episode budget has its own knob (--num_episodes / EvalEpisodes);
     # -1 matches the reference's run-forever playback (eval.py:198)
-    out = evaluate(cfg, num_episodes=cfg.eval_episodes, render=cfg.render)
+    out = evaluate(
+        cfg,
+        num_episodes=cfg.eval_episodes,
+        render=cfg.render,
+        greedy=getattr(args, "greedy", False),
+    )
     print(out)

@@ -64,6 +64,18 @@ def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pad_len(n: int, blk_q: int, blk_k: int) -> int:
+    """Padded sequence length divisible by BOTH tile sizes. Padding to
+    max(blk_q, blk_k) alone silently under-covers the sequence when the
+    larger tile is not a multiple of the smaller (e.g. 256/384)."""
+    import math
+
+    lcm = blk_q * blk_k // math.gcd(blk_q, blk_k)
+    n_pad = _pad_to(n, lcm)
+    assert n_pad % blk_q == 0 and n_pad % blk_k == 0, (n_pad, blk_q, blk_k)
+    return n_pad
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -128,7 +140,7 @@ def _fwd_kernel(
 def _fwd(q, k, v, scale: float, num_special: int):
     bh, n, d = q.shape
     blk_q, blk_k = _blocks(n)
-    n_pad = _pad_to(n, max(blk_q, blk_k))
+    n_pad = _pad_len(n, blk_q, blk_k)
     pad = [(0, 0), (0, n_pad - n), (0, 0)]
     qp, kp, vp = (jnp.pad(t, pad) for t in (q, k, v))
     n_q, n_k = n_pad // blk_q, n_pad // blk_k
@@ -255,7 +267,7 @@ def _bwd(scale: float, num_special: int, res, g):
     do = g
     bh, n, d = q.shape
     blk_q, blk_k = _blocks(n)
-    n_pad = _pad_to(n, max(blk_q, blk_k))
+    n_pad = _pad_len(n, blk_q, blk_k)
     pad = [(0, 0), (0, n_pad - n), (0, 0)]
     qp, kp, vp, dop = (jnp.pad(t, pad) for t in (q, k, v, do))
     # delta = rowsum(dO * O), computed in XLA (cheap elementwise+reduce)

@@ -53,12 +53,62 @@ def get_dist_info():
     )
 
 
-def init_distributed() -> None:
-    """Multi-host rendezvous (replaces torchrun c10d, reference
-    dist_utils.py:61-77). No-op on a single host."""
+def _cluster_hinted() -> bool:
+    """True when a standard multi-process launcher set us up: Cloud TPU pod
+    slices, Slurm, Open MPI, or JAX's own explicit vars — i.e.
+    `jax.distributed.initialize()` can auto-detect the coordinator (the
+    reference equivalently trusts torchrun's env vars, dist_utils.py:9-14).
+
+    Size-carrying hints must imply MORE THAN ONE process: the single-chip
+    image sets ``TPU_WORKER_HOSTNAMES=localhost``, which is a 1-host setup
+    where initialization is pointless and auto-detection has no coordinator
+    to find.
+    """
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ:  # pragma: no cover
+    env = os.environ
+    for var in (
+        "COORDINATOR_ADDRESS",
+        "JAX_COORDINATOR_ADDRESS",  # legacy spelling kept for round-1/2 runs
+        "MEGASCALE_COORDINATOR_ADDRESS",
+    ):
+        if env.get(var):
+            return True
+    hosts = env.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        return True
+    for var in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE"):
+        try:
+            if int(env.get(var, "1")) > 1:
+                return True
+        except ValueError:
+            pass
+    return False
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host rendezvous (replaces torchrun c10d, reference
+    dist_utils.py:61-77). No-op on a single host.
+
+    With explicit arguments it initializes directly (the 2-process CPU
+    integration test drives this path, tests/test_two_process.py);
+    otherwise it initializes whenever a standard launcher hint is present
+    and lets JAX auto-detect the coordinator.
+    """
+    if jax.distributed.is_initialized():
+        return  # already initialized (idempotent, like torch's init guard)
+    if coordinator_address or num_processes is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return
+    if _cluster_hinted():  # pragma: no cover
         jax.distributed.initialize()
 
 

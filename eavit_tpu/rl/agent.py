@@ -133,7 +133,9 @@ class RNDAgent:
 
         # jitted entry points
         self._act = jax.jit(
-            self._act_impl, static_argnames=("deterministic",), donate_argnums=()
+            self._act_impl,
+            static_argnames=("deterministic", "greedy"),
+            donate_argnums=(),
         )
         self._update = jax.jit(self._update_impl, donate_argnums=(0,))
         self._obs_rms_update = jax.jit(self._obs_rms_update_impl, donate_argnums=(0,))
@@ -205,18 +207,25 @@ class RNDAgent:
         obs_u8: jnp.ndarray,  # [N, C, H, W] uint8
         rng: jax.Array,
         deterministic_model: bool = False,
+        greedy: bool = False,
     ):
         """Policy forward + sampling (reference agents.py:187-208).
 
         The reference keeps the model in train mode during rollouts, so
         dropout/noisy-net noise is live at act time; ``deterministic_model``
         True gives eval-mode forwards (reference eval.py / set_mode).
+        ``greedy`` additionally replaces sampling with argmax logits
+        (discrete) / the mean action (continuous) — a TPU-build addition:
+        the reference's eval still SAMPLES from the softmax
+        (eval.py:198-299), so greedy playback is opt-in here.
         Returns (actions, value_ext [N], value_int [N], policy) where policy
         is logits (discrete) or per-sample log-probs [N, 1] (continuous).
         """
-        return self._act(params, obs_u8, rng, deterministic=deterministic_model)
+        return self._act(
+            params, obs_u8, rng, deterministic=deterministic_model, greedy=greedy
+        )
 
-    def _act_impl(self, params, obs_u8, rng, deterministic: bool):
+    def _act_impl(self, params, obs_u8, rng, deterministic: bool, greedy: bool = False):
         k_sample, k_drop, k_noise = jax.random.split(rng, 3)
         obs = obs_u8.astype(jnp.float32) / 255.0
         out = self.network.apply(
@@ -226,14 +235,21 @@ class RNDAgent:
             rngs={"dropout": k_drop, "noise": k_noise},
         )
         if self.action_space == ActionSpaceType.DISCRETE:
-            actions = sample_categorical(k_sample, out.policy)
+            if greedy:
+                actions = jnp.argmax(out.policy, axis=-1)
+            else:
+                actions = sample_categorical(k_sample, out.policy)
             return (
                 actions,
                 out.value_ext[:, 0],
                 out.value_int[:, 0],
                 out.policy,
             )
-        actions, logp = sample_normal(k_sample, out.policy, out.std)
+        if greedy:
+            actions = out.policy  # mean of the tanh-mu Normal
+            logp = normal_log_prob(out.policy, out.std, actions)
+        else:
+            actions, logp = sample_normal(k_sample, out.policy, out.std)
         return actions, out.value_ext[:, 0], out.value_int[:, 0], logp[:, None]
 
     # ------------------------------------------------------------------

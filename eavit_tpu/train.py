@@ -298,14 +298,12 @@ def train(cfg: Config, total_updates: Optional[int] = None,
 
     if cfg.ssl_pretraining and cfg.representation_lr_method != RepresentationMethod.NONE:
         rng, k = jax.random.split(rng)
-        # dedicated SSL epoch budget (reference's SSL loop is independent of
-        # the PPO update budget, train.py:292-499); falls back to
-        # total_updates for backwards compatibility with round-1 runs
-        ssl_epochs = cfg.ssl_pretrain_epochs
-        if ssl_epochs < 0 and total_updates is not None:
-            ssl_epochs = total_updates
+        # dedicated SSL epoch budget, independent of the PPO update budget
+        # (reference's SSL loop is its own while-True, train.py:292-499);
+        # -1 means run forever, exactly as documented on SSLEpochs
         state, states = ssl_pretrain(
-            cfg, base_agent, state, env, collector, logger, ckpt, k, ssl_epochs
+            cfg, base_agent, state, env, collector, logger, ckpt, k,
+            cfg.ssl_pretrain_epochs,
         )
 
     if not cfg.load_model:

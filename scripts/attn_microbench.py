@@ -68,19 +68,22 @@ def sweep_stream(dtype, iters: int) -> None:
     VMEM pressure) at a mid and a long sequence length."""
     from eavit_tpu.ops import flash_stream
 
-    for shape in [(64, 8, 785, 64), (16, 8, 3137, 64)]:
-        xla_ms = bench_case("xla", shape, dtype, iters)
-        print(f"{shape}: xla={xla_ms:.2f}ms", flush=True)
-        for bq in (128, 256, 512):
-            for bk in (128, 256, 512):
-                flash_stream.set_blocks(bq, bk)
-                try:
-                    ms = bench_case("pallas_stream", shape, dtype, iters)
-                    print(f"  bq={bq:3d} bk={bk:3d}: {ms:8.2f}ms", flush=True)
-                except Exception as e:
-                    print(f"  bq={bq:3d} bk={bk:3d}: {type(e).__name__}",
-                          flush=True)
-        flash_stream.set_blocks(128, 128)
+    try:
+        for shape in [(64, 8, 785, 64), (16, 8, 3137, 64)]:
+            xla_ms = bench_case("xla", shape, dtype, iters)
+            print(f"{shape}: xla={xla_ms:.2f}ms", flush=True)
+            for bq in (128, 256, 512):
+                for bk in (128, 256, 512):
+                    flash_stream.set_blocks(bq, bk)
+                    try:
+                        ms = bench_case("pallas_stream", shape, dtype, iters)
+                        print(f"  bq={bq:3d} bk={bk:3d}: {ms:8.2f}ms", flush=True)
+                    except Exception as e:
+                        print(f"  bq={bq:3d} bk={bk:3d}: {type(e).__name__}",
+                              flush=True)
+    finally:
+        # back to the tuned auto tiling, not a pinned sweep value
+        flash_stream.set_blocks(None, None)
 
 
 def main() -> None:

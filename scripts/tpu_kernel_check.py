@@ -54,23 +54,32 @@ def run_case(impl: str, shape, dtype, num_special: int) -> float:
         w = jnp.arange(o.size, dtype=jnp.float32).reshape(o.shape) % 7
         return jnp.sum(o.astype(jnp.float32) * w)
 
-    f_ref = jax.jit(jax.value_and_grad(lambda q: loss(q, k, v, "xla")))
-    f_ker = jax.jit(jax.value_and_grad(lambda q: loss(q, k, v, impl)))
+    # differentiate wrt ALL of (q, k, v): dk/dv run through a separate
+    # pallas_call in the streaming backward, so a q-only grad check would
+    # leave those kernels unvalidated on-chip
+    f_ref = jax.jit(
+        jax.value_and_grad(lambda q, k, v: loss(q, k, v, "xla"), argnums=(0, 1, 2))
+    )
+    f_ker = jax.jit(
+        jax.value_and_grad(lambda q, k, v: loss(q, k, v, impl), argnums=(0, 1, 2))
+    )
     # f32 cases force true-f32 matmuls on the MXU: at DEFAULT precision both
     # paths multiply in bf16 with different blocking/summation order, which
     # shows up as ~5e-3 mutual "error" that says nothing about kernel
     # correctness (measured on v5e). bf16 cases keep production precision.
     prec = "highest" if dtype == jnp.float32 else "default"
     with jax.default_matmul_precision(prec):
-        val_r, g_r = f_ref(q)
-        val_k, g_k = f_ker(q)
-    rel_val = abs(float(val_k) - float(val_r)) / max(1.0, abs(float(val_r)))
-    g_r = np.asarray(g_r, np.float32)
-    g_k = np.asarray(g_k, np.float32)
-    rel_grad = float(
-        np.max(np.abs(g_k - g_r)) / max(1e-6, float(np.max(np.abs(g_r))))
-    )
-    return max(rel_val, rel_grad)
+        val_r, grads_r = f_ref(q, k, v)
+        val_k, grads_k = f_ker(q, k, v)
+    rel = abs(float(val_k) - float(val_r)) / max(1.0, abs(float(val_r)))
+    for g_r, g_k in zip(grads_r, grads_k):
+        g_r = np.asarray(g_r, np.float32)
+        g_k = np.asarray(g_k, np.float32)
+        rel = max(
+            rel,
+            float(np.max(np.abs(g_k - g_r)) / max(1e-6, float(np.max(np.abs(g_r))))),
+        )
+    return rel
 
 
 def main() -> None:

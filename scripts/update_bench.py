@@ -27,6 +27,66 @@ from eavit_tpu.rl.agent import RNDAgent, Rollout
 from eavit_tpu.train import setup_jax
 
 
+# ---------------------------------------------------------------------------
+# analytic FLOPs model (MAC = 2 FLOPs); used for the MFU column
+# ---------------------------------------------------------------------------
+
+# bf16 peak of the target chip; override for other parts
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))  # v5e
+
+
+def policy_fwd_flops(cfg: Config, output_size: int = 18) -> float:
+    """Matmul FLOPs of ONE ActorCritic forward on one sample."""
+    v = cfg.vit
+    D, L, M = v.dim, v.depth, v.mlp_dim
+    inner = v.heads * v.dim_head
+    n_p = (cfg.pre_proc_height // v.patch_size) * (cfg.pre_proc_width // v.patch_size)
+    # exact mode stacks two (n_p + 1)-token streams; shared-patch-stream is
+    # one (n_p + 2)-token pass (models/vit.py)
+    n, streams = (n_p + 2, 1) if cfg.shared_patch_stream else (n_p + 1, 2)
+    per_tok_layer = (
+        2 * D * 3 * inner      # qkv projection
+        + 2 * inner * D        # output projection
+        + 2 * 2 * D * M        # MLP up + down
+    )
+    attn_per_tok_layer = 2 * 2 * n * inner  # QK^T + PV
+    embed_per_tok = 2 * (v.patch_size ** 2 * cfg.state_stack_size) * D
+    backbone = streams * n * (
+        L * (per_tok_layer + attn_per_tok_layer) + embed_per_tok
+    )
+    heads = 2 * D * (D + output_size) + 2 * 2 * (D * D + D)  # actor + 2 critics
+    return float(backbone + heads)
+
+
+def rnd_fwd_flops(cfg: Config) -> tuple:
+    """(predictor_fwd, target_fwd) matmul FLOPs on one sample
+    (original_RND conv trunks, models/rnd.py)."""
+    h = cfg.pre_proc_height
+    trunk = 0.0
+    c_in = 1
+    for c_out, k, s in ((32, 8, 4), (64, 4, 2), (64, 3, 1)):
+        h = (h - k) // s + 1
+        trunk += 2 * k * k * c_in * c_out * h * h
+        c_in = c_out
+    flat = h * h * c_in
+    pred = trunk + 2 * (flat * 512 + 512 * 512 + 512 * 512)
+    targ = trunk + 2 * flat * 512
+    return float(pred), float(targ)
+
+
+def flops_per_update(cfg: Config, output_size: int = 18) -> float:
+    """Total matmul FLOPs of one agent.update() call (rl/agent.py):
+    intrinsic pass over the rollout + Epoch x MiniBatch SGD where each
+    sample costs fwd+bwd (~3x fwd) on policy and RND predictor plus a
+    frozen-target forward."""
+    samples = cfg.num_step * cfg.num_env_per_process
+    pol = policy_fwd_flops(cfg, output_size)
+    pred, targ = rnd_fwd_flops(cfg)
+    intrinsic = samples * (pred + targ)
+    sgd = cfg.epoch * samples * (3 * pol + 3 * pred + targ)
+    return intrinsic + sgd
+
+
 def make_rollout(cfg: Config, seed: int = 0) -> Rollout:
     rng = np.random.default_rng(seed)
     T, N = cfg.num_step, cfg.num_env_per_process
@@ -103,9 +163,13 @@ def main() -> None:
         )
         trace = a.trace and os.path.join(a.trace, mode.replace("/", "_"))
         dt = time_update(cfg, a.updates, trace)
+        fl = flops_per_update(cfg)
+        mfu = fl / dt / (PEAK_TFLOPS * 1e12)
         print(
             f"{mode:16s} {dt:7.2f}s/update  "
-            f"{frames / dt:8.1f} update-frames/s",
+            f"{frames / dt:8.1f} update-frames/s  "
+            f"{fl / 1e12:6.1f} TFLOP  {fl / dt / 1e12:5.1f} TFLOP/s  "
+            f"MFU {100 * mfu:4.1f}% (peak {PEAK_TFLOPS:.0f} bf16)",
             flush=True,
         )
 
