@@ -46,6 +46,26 @@ def orthogonal(gain: float) -> Initializer:
     return nn.initializers.orthogonal(scale=gain)
 
 
+class Dropout16(nn.Module):
+    """Drop-in nn.Dropout replacement using 16-bit random integers.
+
+    flax's Dropout draws 32 random bits per element via bernoulli; at the
+    flagship minibatch the MLP/projection masks total multiple GB of u32
+    bits per step. This halves the random-bit traffic (see
+    ops.attention.dropout16 for the quantization argument: keep-prob error
+    <= 2^-17, exact-probability inverse scale, unbiased)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if deterministic or self.rate <= 0.0:
+            return x
+        from eavit_tpu.ops.attention import dropout16
+
+        return dropout16(self.make_rng("dropout"), x, self.rate)
+
+
 def make_dense(features: int, *, kernel_gain: float | None = None,
                zero_bias: bool = False, name: str | None = None,
                use_bias: bool = True, dtype: Any = None) -> nn.Dense:

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from eavit_tpu.config import ViTConfig, ViTHGConfig
-from eavit_tpu.models.layers import torch_linear_kernel_init
+from eavit_tpu.models.layers import Dropout16, torch_linear_kernel_init
 from eavit_tpu.ops.attention import mha
 
 
@@ -112,7 +112,7 @@ class MultiHeadAttention(nn.Module):
             )
             # the flash kernel cannot drop individual probabilities: apply
             # dropout on the attention OUTPUT instead (documented divergence)
-            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+            out = Dropout16(self.dropout)(out, deterministic=deterministic)
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
 
@@ -125,7 +125,7 @@ class MultiHeadAttention(nn.Module):
                 dtype=self.dtype,
                 name="to_out",
             )(out)
-            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+            out = Dropout16(self.dropout)(out, deterministic=deterministic)
         return out
 
 
@@ -151,7 +151,7 @@ class FeedForward(nn.Module):
             name="fc1",
         )(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = Dropout16(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(
             self.dim,
             kernel_init=torch_linear_kernel_init(),
@@ -159,7 +159,7 @@ class FeedForward(nn.Module):
             dtype=self.dtype,
             name="fc2",
         )(x)
-        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return Dropout16(self.dropout)(x, deterministic=deterministic)
 
 
 class Transformer(nn.Module):
@@ -278,7 +278,7 @@ class DualTokenViT(nn.Module):
             dtype=self.dtype,
             name="transformer",
         )
-        emb_drop = nn.Dropout(c.emb_dropout)
+        emb_drop = Dropout16(c.emb_dropout)
 
         if c.use_explorative_attn:
             tok_explore = self.param(
@@ -383,7 +383,7 @@ class DualTokenViTHG(nn.Module):
             dtype=self.dtype,
             name="encoder",
         )
-        emb_drop = nn.Dropout(c.hidden_dropout_prob)
+        emb_drop = Dropout16(c.hidden_dropout_prob)
 
         if c.use_explorative_attn:
             tok_explore = self.param(

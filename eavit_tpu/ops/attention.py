@@ -92,6 +92,26 @@ def mha(
         dots = jnp.where(allowed, dots, _NEG_INF)
     attn = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
     if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
-        attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0).astype(v.dtype)
+        attn = dropout16(dropout_rng, attn, dropout_rate)
     return jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+
+
+def dropout16(rng: jax.Array, x: jnp.ndarray, rate: float) -> jnp.ndarray:
+    """Elementwise dropout from 16-bit random integers.
+
+    ``jax.random.bernoulli`` draws 32 random bits per mask element — for the
+    flagship minibatch the attention-probability mask alone is a 1.27 GB
+    u32[512,8,197,197] tensor whose generation + layout copy + compare
+    measured ~20% of the whole PPO/RND update on v5e (round-3 profile).
+    Thresholding u16 bits halves every one of those costs. The keep
+    probability is quantized to 1/65536 (error <= 2^-17); the inverse-scale
+    uses the EXACT quantized probability so the mask is unbiased:
+    E[out] = x.
+    """
+    thresh = int(round((1.0 - rate) * 65536))
+    if thresh >= 65536:
+        return x
+    keep_p = thresh / 65536.0
+    bits = jax.random.bits(rng, x.shape, dtype=jnp.uint16)
+    keep = bits < jnp.asarray(thresh, jnp.uint16)
+    return jnp.where(keep, x / keep_p, 0.0).astype(x.dtype)

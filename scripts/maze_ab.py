@@ -58,13 +58,40 @@ def make_cfg(arm: str, seed: int, entropy: float = 0.001,
              grid: int = 12, ep_len: int = 384,
              num_envs: int = 32, variants: int = 1,
              ext_coef: float = 0.0, shared: bool = False,
-             modified: bool = False) -> Config:
+             modified: bool = False, ssl: str = "None",
+             hg: bool = False) -> Config:
     if arm == "rnd":
         method = (
             TrainMethod.MODIFIED_RND if modified else TrainMethod.ORIGINAL_RND
         )
     else:
         method = TrainMethod.PPO
+    kw = {}
+    if ssl != "None":
+        # joint SSL aux loss inside the PPO update (reference
+        # representationLearningMethod matrix, agents.py:357-448)
+        from eavit_tpu.config import RepresentationMethod, SSLConfig
+
+        kw["representation_lr_method"] = RepresentationMethod(ssl)
+        # projector sizes scaled to the dim-256 backbone (the reference's
+        # 4096/8192 defaults are sized for ImageNet-scale encoders)
+        kw["ssl"] = SSLConfig(
+            byol_projection_hidden_size=512,
+            byol_projection_size=128,
+            barlow_twins_projection_sizes=(512, 512, 512),
+        )
+    if hg:
+        # reduced HG-flavor backbone (reference vit_hg.py:227-402) at a
+        # budget comparable to the lucidrains flagship: same dim/depth
+        # family, HF-style encoder semantics (GELU, qkv bias, trunc-normal)
+        from eavit_tpu.config import ViTHGConfig, ViTImplementation
+
+        kw["vit_implementation_type"] = ViTImplementation.HG
+        kw["vit_hg"] = ViTHGConfig(
+            hidden_size=256, num_hidden_layers=3, num_attention_heads=8,
+            intermediate_size=1024, patch_size=6,
+        )
+        kw["extracted_feature_embedding_dim"] = 256
     return Config(
         shared_patch_stream=shared,
         entropy_coef=entropy,
@@ -82,6 +109,7 @@ def make_cfg(arm: str, seed: int, entropy: float = 0.001,
         seed=seed,
         obs_norm_step=50,
         total_updates=-1,
+        **kw,
     )
 
 
@@ -91,12 +119,13 @@ def run(arm: str, updates: int, seed: int, out_dir: str,
         update_proportion: float = 0.25,
         grid: int = 12, ep_len: int = 384, num_envs: int = 32,
         variants: int = 1, ext_coef: float = 0.0,
-        shared: bool = False, modified: bool = False) -> None:
+        shared: bool = False, modified: bool = False,
+        ssl: str = "None", hg: bool = False) -> None:
     cfg = make_cfg(arm, seed, entropy=entropy, int_coef=int_coef, lr=lr,
                    maze=maze, update_proportion=update_proportion,
                    grid=grid, ep_len=ep_len, num_envs=num_envs,
                    variants=variants, ext_coef=ext_coef, shared=shared,
-                   modified=modified)
+                   modified=modified, ssl=ssl, hg=hg)
     setup_jax(cfg)
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{arm}{tag}_seed{seed}.jsonl")
@@ -157,6 +186,9 @@ def run(arm: str, updates: int, seed: int, out_dir: str,
                     metrics.get("data/int_reward_per_rollout", 0.0)
                 ),
                 "entropy": float(metrics["train/entropy"]),
+                "repr_loss": float(
+                    metrics.get("train/representation_loss", 0.0)
+                ),
                 "elapsed_s": round(time.time() - t_start, 1),
             }
             f.write(json.dumps(row) + "\n")
@@ -203,6 +235,14 @@ if __name__ == "__main__":
                    help="shared-patch-stream backbone (SURVEY §5 fused "
                         "dual-query attention, ~2x faster update): used for "
                         "the learning-equivalence check vs exact mode")
+    p.add_argument("--ssl", choices=["None", "BYOL", "Barlow-Twins"],
+                   default="None",
+                   help="joint SSL aux loss in the PPO update (reference "
+                        "representationLearningMethod, agents.py:357-448)")
+    p.add_argument("--hg", action="store_true",
+                   help="HG-flavor backbone (reference vit_hg.py) at a "
+                        "reduced dim-256/depth-3 size: the HG e2e "
+                        "learning-evidence run")
     p.add_argument("--ext_coef", type=float, default=0.0,
                    help="extrinsic advantage coefficient; 0 = reward-free "
                         "A/B, 2 = the reference flagship's ext+int vs "
@@ -213,4 +253,4 @@ if __name__ == "__main__":
         maze=not a.no_maze, update_proportion=a.update_proportion,
         grid=a.grid, ep_len=a.ep_len, num_envs=a.num_envs,
         variants=a.variants, ext_coef=a.ext_coef, shared=a.shared,
-        modified=a.modified)
+        modified=a.modified, ssl=a.ssl, hg=a.hg)
