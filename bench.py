@@ -67,6 +67,12 @@ NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 64))
 NUM_STEP = int(os.environ.get("BENCH_NUM_STEP", 128))
 UPDATES = int(os.environ.get("BENCH_UPDATES", 3))
 NAIVE_UPDATES = int(os.environ.get("BENCH_NAIVE_UPDATES", 3))
+# Wall-clock budget: the naive arm makes hundreds of sequential host<->device
+# round trips per update, so on a slow tunnel session 1+3 naive updates can
+# exceed any external timeout and the run dies with NO json line. Stop adding
+# naive reps when the budget nears; median whatever completed (>=1 rep).
+T_START = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2100))
 
 
 def flagship_cfg(**kw) -> Config:
@@ -147,6 +153,11 @@ def run_pipeline(cfg: Config, naive: bool) -> float:
         rng, k = jax.random.split(rng)
         state, states = one_update(state, states, k)
         times.append(time.perf_counter() - t0)
+        # budget guard (see BUDGET_S): keep >=1 timed rep, stop early if the
+        # next rep would run past the budget
+        if naive and time.time() - T_START + times[-1] > 0.9 * BUDGET_S:
+            print(f"# naive: budget stop after {len(times)} rep(s)", flush=True)
+            break
     return frames / float(np.median(times))
 
 

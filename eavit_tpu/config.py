@@ -228,6 +228,11 @@ class Config:
     # frame variants per room, shown as steps % V (Montezuma-like frame
     # variety: RND novelty decays with visitation count, not on first sight)
     synthetic_variants: int = 1
+    # sparse-goal mode for the device env: reward ONLY at the BFS-farthest
+    # room (terminates the episode) instead of dense first-visit rewards —
+    # the Montezuma-shaped regime where extrinsic-only PPO flounders and
+    # intrinsic exploration is required (envs/device_env.py)
+    synthetic_sparse_goal: bool = False
     # SSL pretraining epoch budget, independent of total_updates (-1 = run
     # forever, like the reference's while-True SSL loop, train.py:342)
     ssl_pretrain_epochs: int = -1
@@ -374,6 +379,7 @@ _KEYMAP: Dict[str, Tuple[Tuple[str, ...], Any]] = {
     "SyntheticTexture": (("synthetic_texture",), str),
     "SyntheticSharedWorld": (("synthetic_shared_world",), _as_bool),
     "SyntheticVariants": (("synthetic_variants",), int),
+    "SyntheticSparseGoal": (("synthetic_sparse_goal",), _as_bool),
     "SSLEpochs": (("ssl_pretrain_epochs",), int),
     "EvalEpisodes": (("eval_episodes",), int),
 }

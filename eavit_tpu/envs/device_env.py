@@ -28,6 +28,12 @@ class DeviceEnvParams(NamedTuple):
     grid: int
     stack: int
     max_episode_steps: int
+    # sparse-goal mode (None = dense first-visit rewards): [W] i32 room
+    # index of the single rewarded cell per world. Reaching it pays +1 and
+    # TERMINATES the episode — the Montezuma-shaped sparse regime
+    # (reference envs.py:222-245 room semantics) where extrinsic-only PPO
+    # flounders and intrinsic exploration is required to ever see reward.
+    goal_rooms: jnp.ndarray | None = None
     # NOTE: the leading "world" dim W is num_envs for per-env worlds or 1
     # for shared_world (deduplicated — no N-fold HBM copy of one world)
 
@@ -76,6 +82,31 @@ def _maze_walls(grid: int, rng: np.random.Generator) -> np.ndarray:
     return walls
 
 
+def _bfs_distances(walls: np.ndarray) -> np.ndarray:
+    """[G, G, 4] blocked flags -> [G, G] BFS distance from (0, 0).
+
+    Honors walls; moves wrap on the torus (matching device_env_step's
+    modulo arithmetic). Unreachable cells get -1 (cannot happen for a DFS
+    spanning-tree maze, which is connected by construction)."""
+    g = walls.shape[0]
+    dist = np.full((g, g), -1, np.int64)
+    dist[0, 0] = 0
+    frontier = [(0, 0)]
+    moves = [(-1, 0, 0), (1, 0, 1), (0, -1, 2), (0, 1, 3)]
+    while frontier:
+        nxt = []
+        for y, x in frontier:
+            for dy, dx, d in moves:
+                if walls[y, x, d]:
+                    continue
+                ny, nx = (y + dy) % g, (x + dx) % g
+                if dist[ny, nx] < 0:
+                    dist[ny, nx] = dist[y, x] + 1
+                    nxt.append((ny, nx))
+        frontier = nxt
+    return dist
+
+
 def make_device_env(
     num_envs: int,
     seed: int = 42,
@@ -88,6 +119,7 @@ def make_device_env(
     texture: str = "sine",
     shared_world: bool = False,
     variants: int = 1,
+    sparse_goal: bool = False,
 ) -> Tuple[DeviceEnvParams, DeviceEnvState]:
     """Build per-env room frames (host, once) and the initial device state.
 
@@ -154,12 +186,25 @@ def make_device_env(
     else:
         walls = np.zeros((n_worlds, grid, grid, 4), bool)
 
+    goal_rooms = None
+    if sparse_goal:
+        # goal = the BFS-farthest cell from the spawn in each world: the
+        # deepest leaf of the maze's spanning tree (or the torus antipode
+        # when maze=False) — the longest corridor a random walk must
+        # thread before EVER seeing extrinsic reward
+        goals = []
+        for i in range(n_worlds):
+            dist = _bfs_distances(walls[i])
+            goals.append(int(np.argmax(dist)))
+        goal_rooms = jnp.asarray(goals, jnp.int32)
+
     params = DeviceEnvParams(
         frames=jnp.asarray(cells),
         walls=jnp.asarray(walls),
         grid=grid,
         stack=stack,
         max_episode_steps=max_episode_steps,
+        goal_rooms=goal_rooms,
     )
     state = device_env_reset(params, num_envs)
     return params, state
@@ -228,14 +273,23 @@ def device_env_step(
     )
     room = pos[:, 0] * g + pos[:, 1]
     first_visit = ~state.visited[jnp.arange(n), room]
-    reward = first_visit.astype(jnp.float32)
     visited = state.visited.at[jnp.arange(n), room].set(True)
     ever_visited = state.ever_visited.at[jnp.arange(n), room].set(True)
+    if params.goal_rooms is None:
+        # dense mode: +1 per first visit, episodes end only by truncation
+        reward = first_visit.astype(jnp.float32)
+        dones = jnp.zeros(n, bool)
+    else:
+        # sparse mode: +1 ONLY at the goal room, which terminates the
+        # episode (Montezuma-shaped — visited/ever_visited still track
+        # coverage for diagnostics)
+        at_goal = room == params.goal_rooms[_world_idx(params, n)]
+        reward = at_goal.astype(jnp.float32)
+        dones = at_goal
     episode_reward = state.episode_reward + reward
     steps = state.steps + 1
 
-    dones = jnp.zeros(n, bool)
-    truncated = steps >= params.max_episode_steps
+    truncated = (steps >= params.max_episode_steps) & ~dones
     reset = dones | truncated
 
     frame = _frame_at(params, pos, steps)

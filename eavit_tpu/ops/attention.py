@@ -33,6 +33,7 @@ see tests/test_dual_query.py for the equivalence oracle.)
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -90,10 +91,44 @@ def mha(
     if num_special:
         allowed = dual_query_allowed(q.shape[2], k.shape[2], num_special)
         dots = jnp.where(allowed, dots, _NEG_INF)
-    attn = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
+    attn = _softmax_cast(dots, v.dtype)
     if dropout_rate > 0.0 and dropout_rng is not None:
         attn = dropout16(dropout_rng, attn, dropout_rate)
     return jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _softmax_cast(dots: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """``softmax(dots, axis=-1).astype(out_dtype)`` with the RESIDUAL stored
+    in ``out_dtype``.
+
+    The stock ``jax.nn.softmax`` VJP saves its f32 output — at the flagship
+    minibatch a 636 MB f32[512,8,197,197] tensor per layer, written in fwd
+    and re-read in bwd, even though the value path immediately casts the
+    probabilities to bf16 for the PV matmul. Since the update is
+    HBM-bandwidth-bound (84% of the v5e roofline, BASELINE.md round 3),
+    saving the ALREADY-MATERIALIZED bf16 probabilities instead removes that
+    f32 tensor entirely. The VJP math ``s * (g - sum(g * s))`` runs with the
+    bf16-quantized probabilities upcast to f32 — probability quantization
+    error ~2^-8 relative, the same order as the bf16 PV matmul the value
+    path already performs.
+    """
+    return jax.nn.softmax(dots, axis=-1).astype(out_dtype)
+
+
+def _softmax_cast_fwd(dots, out_dtype):
+    s = jax.nn.softmax(dots, axis=-1).astype(out_dtype)
+    return s, s
+
+
+def _softmax_cast_bwd(out_dtype, s, g):
+    sf = s.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    d = sf * (gf - jnp.sum(gf * sf, axis=-1, keepdims=True))
+    return (d,)
+
+
+_softmax_cast.defvjp(_softmax_cast_fwd, _softmax_cast_bwd)
 
 
 def dropout16(rng: jax.Array, x: jnp.ndarray, rate: float) -> jnp.ndarray:
@@ -107,11 +142,19 @@ def dropout16(rng: jax.Array, x: jnp.ndarray, rate: float) -> jnp.ndarray:
     probability is quantized to 1/65536 (error <= 2^-17); the inverse-scale
     uses the EXACT quantized probability so the mask is unbiased:
     E[out] = x.
+
+    The bits are generated FLAT and reshaped: with an N-D output shape,
+    XLA's rng-bit-generator picks a generation-friendly layout
+    ({0,1,3,2} on the 4-D attention mask) that mismatches the consumer's
+    {2,3,1,0}, inserting a physical transpose of the whole mask tensor —
+    3×3.4 ms per flagship minibatch on v5e (round-3 trace,
+    copy.583/588/593). A 1-D output has one layout, and the reshape to
+    the consumer's standard layout is a bitcast.
     """
     thresh = int(round((1.0 - rate) * 65536))
     if thresh >= 65536:
         return x
     keep_p = thresh / 65536.0
-    bits = jax.random.bits(rng, x.shape, dtype=jnp.uint16)
+    bits = jax.random.bits(rng, (x.size,), dtype=jnp.uint16).reshape(x.shape)
     keep = bits < jnp.asarray(thresh, jnp.uint16)
     return jnp.where(keep, x / keep_p, 0.0).astype(x.dtype)

@@ -157,6 +157,7 @@ def _train_device_env(cfg: Config, logger: Logger,
         texture=cfg.synthetic_texture,
         shared_world=cfg.synthetic_shared_world,
         variants=cfg.synthetic_variants,
+        sparse_goal=cfg.synthetic_sparse_goal,
     )
     # device env action set is 5; multi-device runs get the DP agent and a
     # shard_mapped scan rollout (zero-host pipeline scales over the mesh)

@@ -59,7 +59,7 @@ def make_cfg(arm: str, seed: int, entropy: float = 0.001,
              num_envs: int = 32, variants: int = 1,
              ext_coef: float = 0.0, shared: bool = False,
              modified: bool = False, ssl: str = "None",
-             hg: bool = False) -> Config:
+             hg: bool = False, sparse: bool = False) -> Config:
     if arm == "rnd":
         method = (
             TrainMethod.MODIFIED_RND if modified else TrainMethod.ORIGINAL_RND
@@ -109,6 +109,7 @@ def make_cfg(arm: str, seed: int, entropy: float = 0.001,
         seed=seed,
         obs_norm_step=50,
         total_updates=-1,
+        synthetic_sparse_goal=sparse,
         **kw,
     )
 
@@ -120,12 +121,12 @@ def run(arm: str, updates: int, seed: int, out_dir: str,
         grid: int = 12, ep_len: int = 384, num_envs: int = 32,
         variants: int = 1, ext_coef: float = 0.0,
         shared: bool = False, modified: bool = False,
-        ssl: str = "None", hg: bool = False) -> None:
+        ssl: str = "None", hg: bool = False, sparse: bool = False) -> None:
     cfg = make_cfg(arm, seed, entropy=entropy, int_coef=int_coef, lr=lr,
                    maze=maze, update_proportion=update_proportion,
                    grid=grid, ep_len=ep_len, num_envs=num_envs,
                    variants=variants, ext_coef=ext_coef, shared=shared,
-                   modified=modified, ssl=ssl, hg=hg)
+                   modified=modified, ssl=ssl, hg=hg, sparse=sparse)
     setup_jax(cfg)
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{arm}{tag}_seed{seed}.jsonl")
@@ -243,6 +244,11 @@ if __name__ == "__main__":
                    help="HG-flavor backbone (reference vit_hg.py) at a "
                         "reduced dim-256/depth-3 size: the HG e2e "
                         "learning-evidence run")
+    p.add_argument("--sparse", action="store_true",
+                   help="sparse-goal maze: reward ONLY at the BFS-farthest "
+                        "room (terminates the episode) — the Montezuma-"
+                        "shaped A/B where ext-only PPO flounders and "
+                        "RND+ext must explore to ever see reward")
     p.add_argument("--ext_coef", type=float, default=0.0,
                    help="extrinsic advantage coefficient; 0 = reward-free "
                         "A/B, 2 = the reference flagship's ext+int vs "
@@ -253,4 +259,4 @@ if __name__ == "__main__":
         maze=not a.no_maze, update_proportion=a.update_proportion,
         grid=a.grid, ep_len=a.ep_len, num_envs=a.num_envs,
         variants=a.variants, ext_coef=a.ext_coef, shared=a.shared,
-        modified=a.modified, ssl=a.ssl, hg=a.hg)
+        modified=a.modified, ssl=a.ssl, hg=a.hg, sparse=a.sparse)
