@@ -59,7 +59,8 @@ def make_cfg(arm: str, seed: int, entropy: float = 0.001,
              num_envs: int = 32, variants: int = 1,
              ext_coef: float = 0.0, shared: bool = False,
              modified: bool = False, ssl: str = "None",
-             hg: bool = False, sparse: bool = False) -> Config:
+             hg: bool = False, sparse: bool = False,
+             obs_norm: int = 50) -> Config:
     if arm == "rnd":
         method = (
             TrainMethod.MODIFIED_RND if modified else TrainMethod.ORIGINAL_RND
@@ -107,7 +108,7 @@ def make_cfg(arm: str, seed: int, entropy: float = 0.001,
         synthetic_variants=variants,
         learning_rate=lr,
         seed=seed,
-        obs_norm_step=50,
+        obs_norm_step=obs_norm,
         total_updates=-1,
         synthetic_sparse_goal=sparse,
         **kw,
@@ -121,12 +122,14 @@ def run(arm: str, updates: int, seed: int, out_dir: str,
         grid: int = 12, ep_len: int = 384, num_envs: int = 32,
         variants: int = 1, ext_coef: float = 0.0,
         shared: bool = False, modified: bool = False,
-        ssl: str = "None", hg: bool = False, sparse: bool = False) -> None:
+        ssl: str = "None", hg: bool = False, sparse: bool = False,
+        obs_norm: int = 50) -> None:
     cfg = make_cfg(arm, seed, entropy=entropy, int_coef=int_coef, lr=lr,
                    maze=maze, update_proportion=update_proportion,
                    grid=grid, ep_len=ep_len, num_envs=num_envs,
                    variants=variants, ext_coef=ext_coef, shared=shared,
-                   modified=modified, ssl=ssl, hg=hg, sparse=sparse)
+                   modified=modified, ssl=ssl, hg=hg, sparse=sparse,
+                   obs_norm=obs_norm)
     setup_jax(cfg)
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{arm}{tag}_seed{seed}.jsonl")
@@ -143,6 +146,7 @@ def run(arm: str, updates: int, seed: int, out_dir: str,
         texture="noise",
         shared_world=True,
         variants=cfg.synthetic_variants,
+        sparse_goal=cfg.synthetic_sparse_goal,
     )
     agent = RNDAgent(cfg, 5)
     rng = jax.random.PRNGKey(cfg.seed)
@@ -190,6 +194,9 @@ def run(arm: str, updates: int, seed: int, out_dir: str,
                 "repr_loss": float(
                     metrics.get("train/representation_loss", 0.0)
                 ),
+                # sparse mode: rewards exist ONLY at the goal, so the
+                # rollout's raw reward sum counts goal reaches this rollout
+                "goal_hits": float(jnp.sum(rollout.rewards)),
                 "elapsed_s": round(time.time() - t_start, 1),
             }
             f.write(json.dumps(row) + "\n")
@@ -244,6 +251,8 @@ if __name__ == "__main__":
                    help="HG-flavor backbone (reference vit_hg.py) at a "
                         "reduced dim-256/depth-3 size: the HG e2e "
                         "learning-evidence run")
+    p.add_argument("--obs_norm", type=int, default=50,
+                   help="obs-rms warm-up rollouts (reference ObsNormStep)")
     p.add_argument("--sparse", action="store_true",
                    help="sparse-goal maze: reward ONLY at the BFS-farthest "
                         "room (terminates the episode) — the Montezuma-"
@@ -259,4 +268,5 @@ if __name__ == "__main__":
         maze=not a.no_maze, update_proportion=a.update_proportion,
         grid=a.grid, ep_len=a.ep_len, num_envs=a.num_envs,
         variants=a.variants, ext_coef=a.ext_coef, shared=a.shared,
-        modified=a.modified, ssl=a.ssl, hg=a.hg, sparse=a.sparse)
+        modified=a.modified, ssl=a.ssl, hg=a.hg, sparse=a.sparse,
+        obs_norm=a.obs_norm)
