@@ -94,14 +94,17 @@ class MultiHeadAttention(nn.Module):
             return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
         if (
-            self.attention_impl == "xla"
+            self.attention_impl in ("xla", "pallas")
             and self.dropout > 0.0
             and not deterministic
         ):
-            # true attention-PROBABILITY dropout (reference vit.py:68)
+            # true attention-PROBABILITY dropout (reference vit.py:68).
+            # "xla": host-PRNG u16 mask (ops/attention.dropout16);
+            # "pallas": fully fused kernel — on-core PRNG, mask never
+            # touches HBM, regenerated in the backward (ops/flash_dropout).
             out = mha(
                 heads_split(q), heads_split(k), heads_split(v),
-                impl="xla", num_special=self.num_special,
+                impl=self.attention_impl, num_special=self.num_special,
                 dropout_rate=self.dropout,
                 dropout_rng=self.make_rng("dropout"),
             )
@@ -110,7 +113,7 @@ class MultiHeadAttention(nn.Module):
                 heads_split(q), heads_split(k), heads_split(v),
                 impl=self.attention_impl, num_special=self.num_special,
             )
-            # the flash kernel cannot drop individual probabilities: apply
+            # the KV-streaming kernel cannot drop individual probabilities:
             # dropout on the attention OUTPUT instead (documented divergence)
             out = Dropout16(self.dropout)(out, deterministic=deterministic)
         b, _, n, _ = out.shape

@@ -66,13 +66,23 @@ def mha(
 
     ``num_special > 0`` applies the dual-query shared-KV mask (module doc).
     ``dropout_rate`` with a ``dropout_rng`` applies attention-PROBABILITY
-    dropout (reference vit.py:68) on the XLA path; the flash kernel cannot
-    drop individual probabilities, so its callers apply output dropout
-    instead (documented divergence).
+    dropout (reference vit.py:68): the XLA path thresholds a host-PRNG u16
+    mask (`dropout16`), the ``pallas`` path fuses dropout into the flash
+    kernel with the on-core PRNG (`ops/flash_dropout`, zero mask HBM
+    traffic). The KV-streaming kernel cannot drop individual
+    probabilities; its callers apply output dropout instead (documented
+    divergence).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "pallas":
+        if dropout_rate > 0.0 and dropout_rng is not None:
+            from eavit_tpu.ops.flash_dropout import flash_attention_dropout
+
+            return flash_attention_dropout(
+                q, k, v, dropout_rng, dropout_rate,
+                scale=scale, num_special=num_special,
+            )
         from eavit_tpu.ops.flash import flash_attention
 
         return flash_attention(q, k, v, scale=scale, num_special=num_special)

@@ -82,16 +82,95 @@ def run_case(impl: str, shape, dtype, num_special: int) -> float:
     return rel
 
 
+def run_case_dropout(shape, dtype, num_special: int, rate: float) -> float:
+    """Exact-mask check of the fused-dropout kernel (ops/flash_dropout).
+
+    Replays the kernel's PRNG stream (`dropout_raw_bits`, identical grid +
+    seeding) to extract the keep mask, builds an XLA reference that applies
+    THAT mask, and compares forward output and (dq, dk, dv). A bwd pass
+    that failed to regenerate the forward's bits, or any error in the
+    dropout-aware gradient math, shows up as a mismatch here.
+    """
+    from eavit_tpu.ops import flash_dropout as fd
+    from eavit_tpu.ops.attention import dual_query_allowed, _NEG_INF
+
+    b, h, n, d = shape
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    q = jax.random.normal(ks[0], shape, dtype)
+    k = jax.random.normal(ks[1], shape, dtype)
+    v = jax.random.normal(ks[2], shape, dtype)
+    scale = d ** -0.5
+    seeds = fd._seeds_from_rng(ks[3])
+
+    bits = jax.jit(fd.dropout_raw_bits, static_argnums=(0, 1, 2))(
+        b, h, n, seeds
+    )
+    thresh = fd.keep_threshold(rate)
+    keep = np.asarray(bits) < thresh
+    inv_keep = float((1 << 24) / thresh)
+    assert 0.0 < keep.mean() < 1.0, "degenerate mask"
+
+    w = (jnp.arange(b * h * n * d, dtype=jnp.float32).reshape(shape) % 7)
+
+    def loss_ref(q, k, v, keep):
+        s = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if num_special:
+            allowed = dual_query_allowed(n, n, num_special)
+            s = jnp.where(allowed, s, _NEG_INF)
+        sigma = jax.nn.softmax(s, axis=-1)
+        pd = jnp.where(keep, sigma * inv_keep, 0.0)
+        o = jnp.einsum("bhnm,bhmd->bhnd", pd, v.astype(jnp.float32))
+        return jnp.sum(o * w)
+
+    def loss_ker(q, k, v):
+        o = fd._flash_drop(q, k, v, seeds, scale, num_special, rate)
+        return jnp.sum(o.astype(jnp.float32) * w)
+
+    f_ref = jax.jit(jax.value_and_grad(loss_ref, argnums=(0, 1, 2)))
+    f_ker = jax.jit(jax.value_and_grad(loss_ker, argnums=(0, 1, 2)))
+    prec = "highest" if dtype == jnp.float32 else "default"
+    with jax.default_matmul_precision(prec):
+        val_r, grads_r = f_ref(q, k, v, jnp.asarray(keep))
+        val_k, grads_k = f_ker(q, k, v)
+    rel = abs(float(val_k) - float(val_r)) / max(1.0, abs(float(val_r)))
+    for g_r, g_k in zip(grads_r, grads_k):
+        g_r = np.asarray(g_r, np.float32)
+        g_k = np.asarray(g_k, np.float32)
+        rel = max(
+            rel,
+            float(np.max(np.abs(g_k - g_r)) / max(1e-6, float(np.max(np.abs(g_r))))),
+        )
+    return rel
+
+
 def main() -> None:
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--impls", type=str, default=",".join(IMPLS),
+    p.add_argument("--impls", type=str, default=",".join(IMPLS) + ",pallas_drop",
                    help="comma-separated subset of kernels to check")
     impls = p.parse_args().impls.split(",")
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     failures = 0
     for impl in impls:
+        if impl == "pallas_drop":
+            for shape in [(64, 8, 197, 32), (7, 8, 197, 32), (16, 4, 130, 64)]:
+                for dtype in DTYPES:
+                    for sp in SPECIALS:
+                        err = run_case_dropout(shape, dtype, sp, rate=0.1)
+                        tol = TOL[dtype]
+                        ok = err <= tol
+                        failures += not ok
+                        print(
+                            f"{'PASS' if ok else 'FAIL'} pallas_drop    "
+                            f"B{shape[0]}xH{shape[1]}xN{shape[2]}xD{shape[3]} "
+                            f"{jnp.dtype(dtype).name:9s} special={sp} "
+                            f"rel_err={err:.2e} (tol {tol:.0e})",
+                            flush=True,
+                        )
+            continue
         for shape in SHAPES[impl]:
             for dtype in DTYPES:
                 for sp in SPECIALS:
