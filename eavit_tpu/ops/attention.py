@@ -142,7 +142,7 @@ _softmax_cast.defvjp(_softmax_cast_fwd, _softmax_cast_bwd)
 
 
 def dropout16(rng: jax.Array, x: jnp.ndarray, rate: float) -> jnp.ndarray:
-    """Elementwise dropout from 16-bit random integers.
+    """Elementwise dropout from 16-bit random integers, zero saved residual.
 
     ``jax.random.bernoulli`` draws 32 random bits per mask element — for the
     flagship minibatch the attention-probability mask alone is a 1.27 GB
@@ -153,18 +153,52 @@ def dropout16(rng: jax.Array, x: jnp.ndarray, rate: float) -> jnp.ndarray:
     uses the EXACT quantized probability so the mask is unbiased:
     E[out] = x.
 
-    The bits are generated FLAT and reshaped: with an N-D output shape,
-    XLA's rng-bit-generator picks a generation-friendly layout
-    ({0,1,3,2} on the 4-D attention mask) that mismatches the consumer's
-    {2,3,1,0}, inserting a physical transpose of the whole mask tensor —
-    3×3.4 ms per flagship minibatch on v5e (round-3 trace,
-    copy.583/588/593). A 1-D output has one layout, and the reshape to
-    the consumer's standard layout is a bitcast.
+    Two HBM-traffic properties (the update is bandwidth-bound —
+    BASELINE.md round-3 roofline):
+
+    - The bits are generated FLAT and reshaped: with an N-D output shape,
+      XLA's rng-bit-generator picks a generation-friendly layout
+      ({0,1,3,2} on the 4-D attention mask) that mismatches the consumer's
+      {2,3,1,0}, inserting a physical transpose of the whole mask tensor —
+      3×3.4 ms per flagship minibatch on v5e (round-3 trace,
+      copy.583/588/593). A 1-D output has one layout, and the reshape to
+      the consumer's standard layout is a bitcast.
+    - A custom VJP REGENERATES the bits in the backward pass from the same
+      PRNG key instead of saving the keep mask: autodiff of the ``where``
+      would otherwise write the bool mask in the forward and re-read it in
+      the backward (159 MB per flagship attention mask) — `random.bits` is
+      deterministic given the key, so the backward recomputes an identical
+      mask for free generation cost instead of a round-trip through HBM.
     """
     thresh = int(round((1.0 - rate) * 65536))
     if thresh >= 65536:
         return x
+    return _dropout16_regen(rng, x, thresh)
+
+
+def _mask16_apply(rng: jax.Array, x: jnp.ndarray, thresh: int) -> jnp.ndarray:
     keep_p = thresh / 65536.0
     bits = jax.random.bits(rng, (x.size,), dtype=jnp.uint16).reshape(x.shape)
     keep = bits < jnp.asarray(thresh, jnp.uint16)
     return jnp.where(keep, x / keep_p, 0.0).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dropout16_regen(rng, x, thresh: int):
+    return _mask16_apply(rng, x, thresh)
+
+
+def _dropout16_regen_fwd(rng, x, thresh: int):
+    # residual = the key alone; the mask is NOT saved
+    return _mask16_apply(rng, x, thresh), rng
+
+
+def _dropout16_regen_bwd(thresh: int, rng, g):
+    import numpy as np
+
+    # identical key + identical generation shape -> identical mask
+    dx = _mask16_apply(rng, g, thresh)
+    return (np.zeros(rng.shape, jax.dtypes.float0), dx)
+
+
+_dropout16_regen.defvjp(_dropout16_regen_fwd, _dropout16_regen_bwd)

@@ -67,3 +67,34 @@ def test_attention_prob_dropout_preserves_rowsum_in_expectation():
     # (per-element deviations at 50 reps are legitimately ~0.1-0.2)
     assert np.abs(mean - ref).mean() < 0.02
     assert abs((mean - ref).mean()) < 5e-3
+
+
+def test_regen_vjp_matches_autodiff_oracle():
+    # dropout16's custom VJP regenerates the mask in the backward instead
+    # of saving it; gradients must be BIT-identical to plain autodiff of
+    # the same where(bits < thresh, x/p, 0) computation
+    from eavit_tpu.ops.attention import dropout16
+
+    x = jax.random.normal(jax.random.PRNGKey(11), (64, 37))
+
+    def plain(rng, x, rate):
+        thresh = int(round((1.0 - rate) * 65536))
+        keep_p = thresh / 65536.0
+        bits = jax.random.bits(rng, (x.size,), dtype=jnp.uint16).reshape(x.shape)
+        return jnp.where(bits < jnp.uint16(thresh), x / keep_p, 0.0)
+
+    for impl in ("threefry2x32", "rbg"):
+        with jax.default_prng_impl(impl):
+            rng = jax.random.PRNGKey(12)
+            g_custom = jax.jit(
+                jax.grad(lambda x: jnp.sum(dropout16(rng, x, 0.3) ** 2))
+            )(x)
+            g_plain = jax.grad(
+                lambda x: jnp.sum(plain(rng, x, 0.3) ** 2)
+            )(x)
+            gc = np.asarray(g_custom)
+            gp = np.asarray(g_plain)
+            # the regenerated mask must be IDENTICAL (same zero pattern);
+            # value deltas are jit-vs-eager fusion rounding only
+            np.testing.assert_array_equal(gc == 0, gp == 0)
+            np.testing.assert_allclose(gc, gp, rtol=1e-5, atol=1e-5)
