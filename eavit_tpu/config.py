@@ -190,6 +190,10 @@ class Config:
     # small-sequence regime. Default to the faster path; flip for larger
     # patch grids / images where the kernel's no-HBM-scores advantage grows.
     use_pallas_attention: bool = False
+    # fused Pallas FFN kernel (ops/fused_ffn): LN + both matmuls + exact
+    # GELU + both dropout masks in VMEM, recompute backward, on-core-PRNG
+    # dropout. Off by default pending the on-chip A/B vs XLA.
+    fused_ffn: bool = False
     # explicit attention implementation: "xla" | "pallas" (batch-blocked
     # fused kernel) | "pallas_stream" (KV-streaming flash). Empty = derive
     # from use_pallas_attention.
@@ -366,6 +370,7 @@ _KEYMAP: Dict[str, Tuple[Tuple[str, ...], Any]] = {
     "MaxGradNorm": (("max_grad_norm",), float),
     # TPU-native keys (absent in reference configs; loadable from new configs)
     "UsePallasAttention": (("use_pallas_attention",), _as_bool),
+    "FusedFFN": (("fused_ffn",), _as_bool),
     "AttentionImpl": (("attention_impl",), str),
     "SharedPatchStream": (("shared_patch_stream",), _as_bool),
     "ComputeDtype": (("compute_dtype",), str),

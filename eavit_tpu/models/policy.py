@@ -56,6 +56,7 @@ def build_backbone(cfg: Config, *, attention_impl: Optional[str] = None) -> nn.M
     impl = attention_impl or cfg.attention_impl or (
         "pallas" if cfg.use_pallas_attention else "xla"
     )
+    ffn_impl = "pallas" if cfg.fused_ffn else "xla"
     dtype = _compute_dtype(cfg)
     if cfg.vit_implementation_type == ViTImplementation.LUCIDRAINS:
         return DualTokenViT(
@@ -63,6 +64,7 @@ def build_backbone(cfg: Config, *, attention_impl: Optional[str] = None) -> nn.M
             image_size=cfg.pre_proc_height,
             channels=cfg.state_stack_size,
             attention_impl=impl,
+            ffn_impl=ffn_impl,
             shared_patch_stream=cfg.shared_patch_stream,
             dtype=dtype,
             name="feature",
@@ -72,6 +74,7 @@ def build_backbone(cfg: Config, *, attention_impl: Optional[str] = None) -> nn.M
         image_size=cfg.vit_hg.image_size or cfg.pre_proc_height,
         channels=cfg.vit_hg.num_channels or cfg.state_stack_size,
         attention_impl=impl,
+        ffn_impl=ffn_impl,
         shared_patch_stream=cfg.shared_patch_stream,
         dtype=dtype,
         name="feature",

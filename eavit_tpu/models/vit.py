@@ -132,18 +132,70 @@ class MultiHeadAttention(nn.Module):
         return out
 
 
+class _LNParams(nn.Module):
+    """Declares nn.LayerNorm's param tree without its compute (fused path)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
+class _DenseParams(nn.Module):
+    """Declares nn.Dense's param tree (torch-default inits, matching the
+    FeedForward Dense declarations below) without its compute."""
+
+    fan_in: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", torch_linear_kernel_init(), (self.fan_in, self.features)
+        )
+        b = self.param(
+            "bias", torch_linear_kernel_init(), (self.features,)
+        )
+        return k, b
+
+
 class FeedForward(nn.Module):
-    """Pre-norm MLP with GELU (reference vit.py:24-37)."""
+    """Pre-norm MLP with GELU (reference vit.py:24-37).
+
+    ``ffn_impl="pallas"`` runs the whole chain through the fused Pallas
+    kernel (`ops/fused_ffn`): LN, both matmuls, exact GELU, and both
+    dropout masks stay in VMEM; the backward recomputes from ``x`` and
+    regenerates the masks on the on-core PRNG (zero saved residuals
+    besides the input). The parameter TREE is identical to the standard
+    path (norm/fc1/fc2), so checkpoints are interchangeable.
+    """
 
     dim: int
     hidden_dim: int
     dropout: float = 0.0
     pre_norm: bool = True
     norm_eps: float = 1e-5
+    ffn_impl: str = "xla"
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.ffn_impl == "pallas" and self.pre_norm:
+            from eavit_tpu.ops.fused_ffn import fused_ffn
+
+            scale, bias = _LNParams(self.dim, name="norm")()
+            k1, c1 = _DenseParams(self.dim, self.hidden_dim, name="fc1")()
+            k2, c2 = _DenseParams(self.hidden_dim, self.dim, name="fc2")()
+            training = self.dropout > 0.0 and not deterministic
+            return fused_ffn(
+                x, scale, bias, k1, c1, k2, c2,
+                rng=self.make_rng("dropout") if training else None,
+                rate=self.dropout if training else 0.0,
+                eps=self.norm_eps,
+            )
         if self.pre_norm:
             x = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x)
         x = nn.Dense(
@@ -178,6 +230,7 @@ class Transformer(nn.Module):
     norm_eps: float = 1e-5
     final_norm: bool = True
     attention_impl: str = "xla"
+    ffn_impl: str = "xla"
     num_special: int = 0  # dual-query shared-KV mask (ops/attention.py)
     dtype: Any = None
 
@@ -201,6 +254,7 @@ class Transformer(nn.Module):
                 hidden_dim=self.mlp_dim,
                 dropout=self.dropout,
                 norm_eps=self.norm_eps,
+                ffn_impl=self.ffn_impl,
                 dtype=self.dtype,
                 name=f"ff_{i}",
             )(x, deterministic)
@@ -225,6 +279,7 @@ class DualTokenViT(nn.Module):
     image_size: int
     channels: int
     attention_impl: str = "xla"
+    ffn_impl: str = "xla"
     shared_patch_stream: bool = False
     dtype: Any = None
 
@@ -277,6 +332,7 @@ class DualTokenViT(nn.Module):
             mlp_dim=c.mlp_dim,
             dropout=c.dropout,
             attention_impl=self.attention_impl,
+            ffn_impl=self.ffn_impl,
             num_special=2 if fused else 0,
             dtype=self.dtype,
             name="transformer",
@@ -337,6 +393,7 @@ class DualTokenViTHG(nn.Module):
     image_size: int
     channels: int
     attention_impl: str = "xla"
+    ffn_impl: str = "xla"
     shared_patch_stream: bool = False
     dtype: Any = None
 
@@ -382,6 +439,7 @@ class DualTokenViTHG(nn.Module):
             qkv_bias=c.qkv_bias,
             norm_eps=c.layer_norm_eps,
             attention_impl=self.attention_impl,
+            ffn_impl=self.ffn_impl,
             num_special=2 if fused else 0,
             dtype=self.dtype,
             name="encoder",

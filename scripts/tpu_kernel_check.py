@@ -145,16 +145,103 @@ def run_case_dropout(shape, dtype, num_special: int, rate: float) -> float:
     return rel
 
 
+def run_case_ffn(rows: int, dim: int, hid: int, dtype, rate: float) -> float:
+    """Exact-mask check of the fused FFN kernel (ops/fused_ffn).
+
+    Replays both PRNG streams (`dropout_raw_bits`, identical grid/order),
+    rebuilds the chain LN -> fc1 -> GELU -> drop1 -> fc2 -> drop2 in XLA
+    with THOSE masks, and compares forward + gradients wrt x AND every
+    parameter (the weight grads exercise the sequential-grid accumulation
+    path in the backward kernel).
+    """
+    from eavit_tpu.ops import fused_ffn as ff
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 8)
+    x = jax.random.normal(ks[0], (rows, dim), dtype)
+    g1 = jax.random.normal(ks[1], (dim,), jnp.float32) * 0.2 + 1.0
+    b1 = jax.random.normal(ks[2], (dim,), jnp.float32) * 0.1
+    w1 = jax.random.normal(ks[3], (dim, hid), jnp.float32) / np.sqrt(dim)
+    c1 = jax.random.normal(ks[4], (hid,), jnp.float32) * 0.1
+    w2 = jax.random.normal(ks[5], (hid, dim), jnp.float32) / np.sqrt(hid)
+    c2 = jax.random.normal(ks[6], (dim,), jnp.float32) * 0.1
+    params = (g1, b1, w1, c1, w2, c2)
+    eps = 1e-5
+    seeds = jax.lax.bitcast_convert_type(
+        jax.random.bits(ks[7], (2,), dtype=jnp.uint32), jnp.int32
+    )
+
+    m1b, m2b = jax.jit(ff.dropout_raw_bits, static_argnums=(0, 1, 2))(
+        rows, dim, hid, seeds
+    )
+    thresh = ff.keep_threshold(rate)
+    keep1 = jnp.asarray(np.asarray(m1b) < thresh)
+    keep2 = jnp.asarray(np.asarray(m2b) < thresh)
+    inv = float((1 << 24) / thresh)
+
+    w = (jnp.arange(rows * dim, dtype=jnp.float32).reshape(rows, dim) % 5)
+
+    def loss_ref(x, params):
+        g1, b1, w1, c1, w2, c2 = (p.astype(jnp.float32) for p in params)
+        u, _, _ = ff._layernorm(x.astype(jnp.float32), g1, b1, eps)
+        h = u @ w1 + c1
+        g = ff._gelu_exact(h)
+        gd = jnp.where(keep1, g * inv, 0.0)
+        y0 = gd @ w2 + c2
+        y = jnp.where(keep2, y0 * inv, 0.0)
+        return jnp.sum(y * w)
+
+    def loss_ker(x, params):
+        y = ff._ffn(x, params, seeds, eps, rate)
+        return jnp.sum(y.astype(jnp.float32) * w)
+
+    f_ref = jax.jit(jax.value_and_grad(loss_ref, argnums=(0, 1)))
+    f_ker = jax.jit(jax.value_and_grad(loss_ker, argnums=(0, 1)))
+    prec = "highest" if dtype == jnp.float32 else "default"
+    with jax.default_matmul_precision(prec):
+        val_r, (dx_r, dp_r) = f_ref(x, params)
+        val_k, (dx_k, dp_k) = f_ker(x, params)
+    rel = abs(float(val_k) - float(val_r)) / max(1.0, abs(float(val_r)))
+    for g_r, g_k in zip((dx_r, *dp_r), (dx_k, *dp_k)):
+        g_r = np.asarray(g_r, np.float32)
+        g_k = np.asarray(g_k, np.float32)
+        rel = max(
+            rel,
+            float(np.max(np.abs(g_k - g_r)) / max(1e-6, float(np.max(np.abs(g_r))))),
+        )
+    return rel
+
+
 def main() -> None:
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--impls", type=str, default=",".join(IMPLS) + ",pallas_drop",
+    p.add_argument("--impls", type=str,
+                   default=",".join(IMPLS) + ",pallas_drop,fused_ffn",
                    help="comma-separated subset of kernels to check")
     impls = p.parse_args().impls.split(",")
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     failures = 0
     for impl in impls:
+        if impl == "fused_ffn":
+            # (rows, dim, hid): flagship minibatch rows = 512*197 is checked
+            # at reduced rows (grid accumulation is rows-independent);
+            # misaligned rows exercise padding
+            for rows, dim, hid in [(2048, 256, 1024), (777, 256, 1024),
+                                   (512, 128, 512)]:
+                for dtype in DTYPES:
+                    for rate in (0.0, 0.1):
+                        err = run_case_ffn(rows, dim, hid, dtype, rate)
+                        tol = TOL[dtype]
+                        ok = err <= tol
+                        failures += not ok
+                        print(
+                            f"{'PASS' if ok else 'FAIL'} fused_ffn      "
+                            f"R{rows}xD{dim}xH{hid} "
+                            f"{jnp.dtype(dtype).name:9s} rate={rate} "
+                            f"rel_err={err:.2e} (tol {tol:.0e})",
+                            flush=True,
+                        )
+            continue
         if impl == "pallas_drop":
             for shape in [(64, 8, 197, 32), (7, 8, 197, 32), (16, 4, 130, 64)]:
                 for dtype in DTYPES:

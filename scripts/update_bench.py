@@ -156,10 +156,14 @@ def main() -> None:
     setup_jax(base)
     frames = base.num_step * base.num_env_per_process
     for mode in a.modes.split(","):
+        # "<stream>/<attn_impl>[+ffn]": +ffn enables the fused FFN kernel
         stream, impl = mode.split("/")
+        fused_ffn = impl.endswith("+ffn")
+        impl = impl.removesuffix("+ffn")
         cfg = base.replace(
             shared_patch_stream=(stream == "shared"),
             attention_impl=impl,
+            fused_ffn=fused_ffn,
         )
         trace = a.trace and os.path.join(a.trace, mode.replace("/", "_"))
         dt = time_update(cfg, a.updates, trace)
