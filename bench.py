@@ -96,6 +96,11 @@ def flagship_cfg(**kw) -> Config:
         # (results/overlap_ab.log: ~330 on vs ~430 off). BENCH_OVERLAP=1
         # re-enables it for co-located-host measurements.
         async_env_pool=os.environ.get("BENCH_OVERLAP") == "1",
+        # training-path kernels (round 3): fused in-kernel-dropout flash
+        # attention (ops/flash_dropout) and fused FFN (ops/fused_ffn);
+        # defaults follow the measured on-chip A/B (logs/update_bench_drop.out)
+        attention_impl=os.environ.get("BENCH_ATTN_IMPL", ""),
+        fused_ffn=os.environ.get("BENCH_FFN", "0") == "1",
     )
     base.update(kw)
     return Config(**base)
@@ -371,7 +376,7 @@ def main() -> None:
         # silently as the framework and the tunnel change)
         naive_cfg = flagship_cfg(
             compute_dtype="float32", use_pallas_attention=False,
-            shared_patch_stream=False,
+            shared_patch_stream=False, attention_impl="", fused_ffn=False,
         )
         fps_naive = run_pipeline(naive_cfg, naive=True)
         print(f"# naive(reference-style): {fps_naive:.1f} frames/s", file=sys.stderr)

@@ -38,17 +38,25 @@ SHAPES = [
 IMPLS = ["xla", "pallas", "pallas_stream"]
 
 
-def bench_case(impl: str, shape, dtype, iters: int = 10) -> float:
+def bench_case(
+    impl: str, shape, dtype, iters: int = 10, dropout: float = 0.0
+) -> float:
+    """fwd+bwd ms/step; ``dropout > 0`` benches the TRAINING path
+    (attention-probability dropout: XLA = host-PRNG u16 mask,
+    pallas = fused in-kernel PRNG — ops/flash_dropout)."""
     b, h, n, d = shape
-    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
     q = jax.random.normal(ks[0], shape, dtype)
     k = jax.random.normal(ks[1], shape, dtype)
     v = jax.random.normal(ks[2], shape, dtype)
+    rng = ks[3]
 
     @jax.jit
     def step(q, k, v):
         def loss(q, k, v):
-            o = mha(q, k, v, impl=impl, num_special=2)
+            o = mha(q, k, v, impl=impl, num_special=2,
+                    dropout_rate=dropout,
+                    dropout_rng=rng if dropout > 0 else None)
             return jnp.sum(o.astype(jnp.float32) ** 2)
 
         l, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
@@ -93,6 +101,9 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--sweep_stream", action="store_true",
                    help="tile-size sweep for the streaming kernel")
+    p.add_argument("--dropout", type=float, default=0.0,
+                   help="bench the TRAINING path (prob dropout at this "
+                        "rate); pallas routes to ops/flash_dropout")
     a = p.parse_args()
     if a.sweep_stream:
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[a.dtype]
@@ -101,11 +112,13 @@ def main() -> None:
         return
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[a.dtype]
     print(f"backend: {jax.default_backend()}  dtype: {a.dtype}")
+    impls = IMPLS if a.dropout == 0.0 else ["xla", "pallas"]
     for shape in SHAPES:
         row = {}
-        for impl in IMPLS:
+        for impl in impls:
             try:
-                row[impl] = bench_case(impl, shape, dtype, a.iters)
+                row[impl] = bench_case(impl, shape, dtype, a.iters,
+                                       dropout=a.dropout)
             except Exception as e:  # OOM at big N for the non-streaming paths
                 row[impl] = None
                 print(f"  ({impl} failed at {shape}: {type(e).__name__})",
