@@ -46,10 +46,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # rows of the flattened (batch*token) axis per grid cell; ONE constant for
-# fwd+bwd so the dropout PRNG streams line up (see module doc). f32
-# activation temporaries per cell at dim 256 / hidden 1024:
-# ~8 x [R,1024] + ~6 x [R,256] = ~9.5 MB at R=256 in the backward.
-_ROW_BLOCK = 256
+# fwd+bwd so the dropout PRNG streams line up (see module doc). The
+# backward keeps ~8 [R,1024] + ~6 [R,256] f32 temporaries plus both
+# weight blocks (4 MB) live: R=128 lands ~9 MB, safely inside the 16 MB
+# scoped-VMEM limit (R=256 measured too close; sweep via set_row_block).
+_ROW_BLOCK = 128
 
 _INV_SQRT2 = 1.0 / math.sqrt(2.0)
 _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
