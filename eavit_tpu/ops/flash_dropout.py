@@ -111,7 +111,9 @@ def _fwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     *, scale: float, n: int, num_special: int, thresh: int, inv_keep: float,
 ):
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    # Mosaic accepts at most TWO seed words: fold the grid cell into
+    # word 0 (int32 wraparound is deterministic in both passes)
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
     q = q_ref[...].astype(jnp.float32)
     k = k_ref[...].astype(jnp.float32)
     v = v_ref[...].astype(jnp.float32)
@@ -138,7 +140,9 @@ def _bwd_kernel(
     *, scale: float, n: int, num_special: int, thresh: int, inv_keep: float,
 ):
     # Identical seeding + identical block shape -> identical keep mask.
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    # Mosaic accepts at most TWO seed words: fold the grid cell into
+    # word 0 (int32 wraparound is deterministic in both passes)
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
     q = q_ref[...].astype(jnp.float32)
     k = k_ref[...].astype(jnp.float32)
     v = v_ref[...].astype(jnp.float32)
@@ -311,7 +315,9 @@ def flash_attention_dropout(
 
 
 def _bits_kernel(seed_ref, o_ref):
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    # Mosaic accepts at most TWO seed words: fold the grid cell into
+    # word 0 (int32 wraparound is deterministic in both passes)
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
     bits = pltpu.prng_random_bits(o_ref.shape)
     o_ref[...] = jax.lax.shift_right_logical(
         pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)

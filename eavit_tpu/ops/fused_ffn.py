@@ -121,7 +121,9 @@ def _fwd_kernel(
     seed_ref, x_ref, g1_ref, b1_ref, w1_ref, c1_ref, w2_ref, c2_ref,
     y_ref, *, eps: float, thresh: int, inv_keep: float,
 ):
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    # Mosaic accepts at most TWO seed words: fold the grid cell into
+    # word 0 (int32 wraparound is deterministic in both passes)
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
     x = x_ref[...].astype(jnp.float32)
     y, _ = _recompute_fwd(
         x,
@@ -139,7 +141,9 @@ def _bwd_kernel(
     *, eps: float, thresh: int, inv_keep: float,
 ):
     # identical seeding + identical block shape -> identical masks
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    # Mosaic accepts at most TWO seed words: fold the grid cell into
+    # word 0 (int32 wraparound is deterministic in both passes)
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
     x = x_ref[...].astype(jnp.float32)
     g1 = g1_ref[...].astype(jnp.float32)
     w1 = w1_ref[...].astype(jnp.float32)
@@ -371,7 +375,9 @@ def fused_ffn(
 
 
 def _masks_kernel(seed_ref, m1_ref, m2_ref):
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    # Mosaic accepts at most TWO seed words: fold the grid cell into
+    # word 0 (int32 wraparound is deterministic in both passes)
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
     # EXACT draw order of the compute kernels: mask1 (hidden) then mask2
     def raw(shape):
         bits = pltpu.prng_random_bits(shape)
