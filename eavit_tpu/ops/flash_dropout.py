@@ -248,7 +248,7 @@ def _bwd(scale, num_special, rate, res, cot):
             jax.ShapeDtypeStruct((bh_pad, n_pad, d), k.dtype),
             jax.ShapeDtypeStruct((bh_pad, n_pad, d), v.dtype),
         ],
-    )(seeds, qp, kp, vp, dop)
+    )(seeds, qp, kp, vp, lse, dop)
     cut = lambda t: t[:bh, :n].reshape(b, h, n, d)
     return cut(dq), cut(dk), cut(dv), None
 
