@@ -97,10 +97,14 @@ def flagship_cfg(**kw) -> Config:
         # re-enables it for co-located-host measurements.
         async_env_pool=os.environ.get("BENCH_OVERLAP") == "1",
         # training-path kernels (round 3): fused in-kernel-dropout flash
-        # attention (ops/flash_dropout) and fused FFN (ops/fused_ffn);
-        # defaults follow the measured on-chip A/B (logs/update_bench_drop.out)
+        # attention (ops/flash_dropout) and fused FFN (ops/fused_ffn).
+        # Measured on v5e (logs/update_bench_drop.out): fused FFN wins
+        # (+2.1% exact, +3.6% shared update throughput) -> default ON;
+        # the attention kernel wins ISOLATED at N=197 (16.9 vs 21.8 ms,
+        # logs/attn_microbench_drop.out) but loses in-context to kernel-
+        # boundary pads/layout copies -> default XLA at flagship shape.
         attention_impl=os.environ.get("BENCH_ATTN_IMPL", ""),
-        fused_ffn=os.environ.get("BENCH_FFN", "0") == "1",
+        fused_ffn=os.environ.get("BENCH_FFN", "1") == "1",
     )
     base.update(kw)
     return Config(**base)
