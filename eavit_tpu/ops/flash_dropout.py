@@ -52,23 +52,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from eavit_tpu.ops.kernel_prng import (
+    inv_keep_scale,
+    keep_mask_24 as _keep_mask,
+    keep_threshold,
+    pad_to as _pad_to,
+    seeds_from_rng as _seeds_from_rng,
+)
+
 _LANE = 128
 # One budget for BOTH passes: the backward must re-derive the identical
 # (grid cell -> fused rows, block shape) mapping to regenerate the dropout
 # bits, so forward cannot take a larger block than backward. Backward keeps
 # ~5 N^2 fp32/u32 temporaries live (s, sigma, bits, dpd, ds).
-_SCORE_BUDGET = 1024 * 1024
+_DEFAULT_SCORE_BUDGET = 1024 * 1024
+_SCORE_BUDGET = _DEFAULT_SCORE_BUDGET
 
 
 def set_budget(budget: int | None = None) -> None:
-    """Override the per-cell score budget (bytes) for on-chip sweeps."""
+    """Override the per-cell score budget (bytes) for on-chip sweeps;
+    ``None`` restores the tuned default."""
     global _SCORE_BUDGET
-    if budget is not None:
-        _SCORE_BUDGET = budget
-
-
-def _pad_to(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+    _SCORE_BUDGET = _DEFAULT_SCORE_BUDGET if budget is None else budget
 
 
 def _rows_block(n_pad: int, budget: int) -> int:
@@ -76,19 +81,17 @@ def _rows_block(n_pad: int, budget: int) -> int:
     return max(1, budget // per_row)
 
 
-def keep_threshold(rate: float) -> int:
-    """24-bit keep threshold; keep probability = thresh / 2^24 exactly."""
-    return min(1 << 24, int(round((1.0 - rate) * (1 << 24))))
+def supports(n: int) -> bool:
+    """True when the shared fwd/bwd row-blocking fits the score budget.
 
-
-def _keep_mask(shape, thresh: int):
-    """Draw the keep mask from the seeded on-core PRNG. Call order matters:
-    exactly one draw per kernel invocation, immediately after seeding."""
-    bits = pltpu.prng_random_bits(shape)  # int32-patterned random bits
-    r24 = jax.lax.shift_right_logical(
-        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
-    ).astype(jnp.int32)  # uniform in [0, 2^24)
-    return r24 < thresh
+    When even ONE row-block's [n_pad, n_pad] score slice exceeds the
+    budget, ``_rows_block`` clamps to 1 and the backward's ~6 score-sized
+    VMEM temporaries (~6 * n_pad^2 * 4 B) blow past the ~16 MB scoped-VMEM
+    limit around n_pad >= 768 — a Mosaic compile failure at trace time.
+    The public entry falls back to the XLA path instead.
+    """
+    n_pad = _pad_to(n, _LANE)
+    return n_pad * n_pad * 4 <= _SCORE_BUDGET
 
 
 def _masked_scores(q, k, scale, n, num_special):
@@ -206,7 +209,7 @@ def _fwd(q, k, v, seeds, scale, num_special, rate):
     thresh = keep_threshold(rate)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, n=n, num_special=num_special,
-        thresh=thresh, inv_keep=float((1 << 24) / thresh),
+        thresh=thresh, inv_keep=inv_keep_scale(thresh),
     )
     block, lse_block, seed_spec = _specs(g, n_pad, d)
     o, lse = pl.pallas_call(
@@ -235,7 +238,7 @@ def _bwd(scale, num_special, rate, res, cot):
     thresh = keep_threshold(rate)
     kernel = functools.partial(
         _bwd_kernel, scale=scale, n=n, num_special=num_special,
-        thresh=thresh, inv_keep=float((1 << 24) / thresh),
+        thresh=thresh, inv_keep=inv_keep_scale(thresh),
     )
     block, lse_block, seed_spec = _specs(g, n_pad, d)
     dq, dk, dv = pl.pallas_call(
@@ -267,13 +270,6 @@ def _flash_drop_fwd(q, k, v, seeds, scale, num_special, rate):
 _flash_drop.defvjp(_flash_drop_fwd, _bwd)
 
 
-def _seeds_from_rng(rng: jax.Array) -> jax.Array:
-    """Two int32 seed words derived from a JAX PRNG key."""
-    return jax.lax.bitcast_convert_type(
-        jax.random.bits(rng, (2,), dtype=jnp.uint32), jnp.int32
-    )
-
-
 def flash_attention_dropout(
     q: jnp.ndarray,  # [B, H, N, D]
     k: jnp.ndarray,
@@ -296,7 +292,11 @@ def flash_attention_dropout(
         from eavit_tpu.ops.flash import flash_attention
 
         return flash_attention(q, k, v, scale=scale, num_special=num_special)
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" or not supports(q.shape[2]):
+        # non-TPU backends, and sequence lengths whose shared fwd/bwd
+        # row-blocking would overflow scoped VMEM (see ``supports``), run
+        # the XLA path with host-PRNG dropout — same distribution/scaling,
+        # different bits
         from eavit_tpu.ops.attention import mha
 
         return mha(

@@ -50,34 +50,28 @@ from jax.experimental.pallas import tpu as pltpu
 # backward keeps ~8 [R,1024] + ~6 [R,256] f32 temporaries plus both
 # weight blocks (4 MB) live: R=128 lands ~9 MB, safely inside the 16 MB
 # scoped-VMEM limit (R=256 measured too close; sweep via set_row_block).
-_ROW_BLOCK = 128
+_DEFAULT_ROW_BLOCK = 128
+_ROW_BLOCK = _DEFAULT_ROW_BLOCK
 
 _INV_SQRT2 = 1.0 / math.sqrt(2.0)
 _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 
 def set_row_block(r: int | None = None) -> None:
-    """Override the row block (rows/cell) for on-chip sweeps."""
+    """Override the row block (rows/cell) for on-chip sweeps; ``None``
+    restores the tuned default."""
     global _ROW_BLOCK
-    if r is not None:
-        _ROW_BLOCK = r
+    _ROW_BLOCK = _DEFAULT_ROW_BLOCK if r is None else r
 
 
-def _pad_to(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def keep_threshold(rate: float) -> int:
-    """24-bit keep threshold; keep probability = thresh / 2^24 exactly."""
-    return min(1 << 24, int(round((1.0 - rate) * (1 << 24))))
-
-
-def _keep(shape, thresh: int):
-    bits = pltpu.prng_random_bits(shape)
-    r24 = jax.lax.shift_right_logical(
-        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
-    ).astype(jnp.int32)
-    return r24 < thresh
+# dropout PRNG/quantization contract shared with ops/flash_dropout
+from eavit_tpu.ops.kernel_prng import (  # noqa: E402
+    inv_keep_scale,
+    keep_mask_24 as _keep,
+    keep_threshold,
+    pad_to as _pad_to,
+    seeds_from_rng as _seeds_from_rng,
+)
 
 
 def _layernorm(x, scale, bias, eps):
@@ -249,7 +243,7 @@ def _fwd(x2, params, seeds, eps, rate):
     thresh = keep_threshold(rate)
     kernel = functools.partial(
         _fwd_kernel, eps=eps, thresh=thresh,
-        inv_keep=float((1 << 24) / thresh) if thresh else 0.0,
+        inv_keep=inv_keep_scale(thresh),
     )
     row_spec = pl.BlockSpec((r, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
     y = pl.pallas_call(
@@ -280,7 +274,7 @@ def _bwd(eps, rate, res, dy2):
     thresh = keep_threshold(rate)
     kernel = functools.partial(
         _bwd_kernel, eps=eps, thresh=thresh,
-        inv_keep=float((1 << 24) / thresh) if thresh else 0.0,
+        inv_keep=inv_keep_scale(thresh),
     )
     row_spec = pl.BlockSpec((r, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
     f32 = jnp.float32
@@ -377,9 +371,7 @@ def fused_ffn(
     if rate > 0.0:
         if rng is None:
             raise ValueError("dropout rate > 0 requires an rng")
-        seeds = jax.lax.bitcast_convert_type(
-            jax.random.bits(rng, (2,), dtype=jnp.uint32), jnp.int32
-        )
+        seeds = _seeds_from_rng(rng)
     else:
         seeds = jnp.zeros((2,), jnp.int32)
     return _ffn(x2, params, seeds, float(eps), float(rate)).reshape(

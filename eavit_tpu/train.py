@@ -70,6 +70,15 @@ def ssl_pretrain(
     best eval loss is checkpointed with the SSL suffix."""
     from eavit_tpu.rl.ssl_pretrain import make_ssl_pretrainer
 
+    if num_epochs < 0:
+        # the reference's SSL loop is a while-True killed externally
+        # (train.py:342); make the contract loud so a bounded
+        # --total_updates run isn't mistaken for a hang
+        logger.log(
+            "SSLEpochs < 0: SSL pretraining runs FOREVER (reference "
+            "while-True semantics); PPO never starts. Set SSLEpochs to "
+            "bound it."
+        )
     pretrainer = make_ssl_pretrainer(cfg, agent)
     n = env.num_envs
     rng_np = np.random.default_rng(cfg.seed)

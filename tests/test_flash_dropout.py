@@ -136,3 +136,37 @@ def test_onchip_mask_replay_matches():  # pragma: no cover - chip only
 
     err = run_case_dropout((4, 4, 130, 32), jnp.float32, 0, rate=0.1)
     assert err < 2e-4
+
+
+def test_supports_and_budget_restore():
+    """VMEM guard: sequence lengths whose single row-block score slice
+    exceeds the budget fall back to XLA (one clamped block would blow
+    scoped VMEM in the backward); set_budget(None) restores the default."""
+    assert fd.supports(197)   # flagship: 256-pad, 0.26 MB
+    assert fd.supports(512)   # exactly the 1 MB budget
+    assert not fd.supports(785)  # 896-pad: 3.2 MB > budget -> XLA fallback
+    fd.set_budget(4 * 1024 * 1024)
+    assert fd.supports(785)
+    fd.set_budget(None)
+    assert fd._SCORE_BUDGET == fd._DEFAULT_SCORE_BUDGET
+    assert not fd.supports(785)
+
+
+def test_rate_one_inv_keep_guard():
+    """rate=1.0 -> thresh 0 -> inv_keep 0.0 (no ZeroDivisionError); all
+    activations dropped."""
+    from eavit_tpu.ops.kernel_prng import inv_keep_scale
+
+    assert inv_keep_scale(0) == 0.0
+    q = jnp.ones((1, 2, 8, 4), jnp.float32)
+    out = fd.flash_attention_dropout(q, q, q, jax.random.PRNGKey(0), rate=1.0)
+    assert np.allclose(np.asarray(out), 0.0)
+
+
+def test_ffn_row_block_restore():
+    from eavit_tpu.ops import fused_ffn as ff
+
+    ff.set_row_block(256)
+    assert ff._ROW_BLOCK == 256
+    ff.set_row_block(None)
+    assert ff._ROW_BLOCK == ff._DEFAULT_ROW_BLOCK
