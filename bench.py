@@ -42,15 +42,62 @@ BENCH_NAIVE_UPDATES (timed naive updates, default 3), BENCH_NUM_ENVS,
 BENCH_NUM_STEP, BENCH_FAST=1 (recorded baseline, no live naive),
 BENCH_NAIVE_FPS (override the baseline), BENCH_OVERLAP=1 (enable the
 double-buffered host-env/device overlap), BENCH_DEVICE_ENV=1 (zero-host
-scan-rollout pipeline), BENCH_SHARED=1 (fused dual-query backbone).
+scan-rollout pipeline), BENCH_SHARED=1 (fused dual-query backbone),
+BENCH_CHIP_WAIT_S (max seconds to wait for the tunneled chip to free up
+before starting — a hung backend init would otherwise end the run with no
+json line; default 900).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+
+def _wait_for_chip(budget_s: float) -> None:
+    """Block until the tunneled TPU answers a device probe, or the wait
+    budget runs out.
+
+    Initializing the axon backend BLOCKS INDEFINITELY while another process
+    holds the chip (or the tunnel is down) — importing jax here and hanging
+    would end the run with NO json line (this killed a round-3 driver bench
+    attempt: logs/bench_r3b.* are empty). Probe in a SUBPROCESS with a hard
+    timeout so this process never commits to a backend until the chip is
+    known to answer; skip when no axon hook is configured (CPU/dev boxes).
+    """
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=150, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            remaining = deadline - time.time()
+            print(
+                f"# chip probe {attempt} failed (chip held or tunnel down); "
+                f"{remaining:.0f}s of wait budget left", file=sys.stderr,
+                flush=True,
+            )
+            if remaining <= 60:
+                print(
+                    "# proceeding anyway — measurement may hang/fail",
+                    file=sys.stderr, flush=True,
+                )
+                return
+            time.sleep(min(60.0, remaining))
+
+
+_wait_for_chip(float(os.environ.get("BENCH_CHIP_WAIT_S", 900)))
 
 import jax
 import jax.numpy as jnp
