@@ -81,17 +81,27 @@ def _rows_block(n_pad: int, budget: int) -> int:
     return max(1, budget // per_row)
 
 
-def supports(n: int) -> bool:
-    """True when the shared fwd/bwd row-blocking fits the score budget.
+# Backward working-set cap. The backward keeps ~6 score-sized f32 VMEM
+# temporaries (s, sigma, bits, pd, dpd, ds) of g*n_pad^2*4 B each.
+# Measured on v5e (logs/attn_microbench_drop.out): n_pad=896 (ws ~19 MB)
+# compiles and WINS 3.2x over XLA; n_pad=1792 (ws ~77 MB) dies with a
+# JaxRuntimeError at compile. 40 MB keeps every measured-working shape
+# inside and every measured-failing shape out, with margin for the
+# [G,Np,D] i/o blocks.
+_VMEM_CAP = 40 * 1024 * 1024
 
-    When even ONE row-block's [n_pad, n_pad] score slice exceeds the
-    budget, ``_rows_block`` clamps to 1 and the backward's ~6 score-sized
-    VMEM temporaries (~6 * n_pad^2 * 4 B) blow past the ~16 MB scoped-VMEM
-    limit around n_pad >= 768 — a Mosaic compile failure at trace time.
-    The public entry falls back to the XLA path instead.
+
+def supports(n: int) -> bool:
+    """True when the backward's recompute working set fits VMEM.
+
+    ``_rows_block`` clamps to >= 1 row-block, so one grid cell holds
+    ``max(_SCORE_BUDGET, n_pad^2 * 4)`` bytes per score temporary; the
+    public entry falls back to the XLA path (true dropout, host PRNG)
+    for sequence lengths past the cap instead of crashing at compile.
     """
     n_pad = _pad_to(n, _LANE)
-    return n_pad * n_pad * 4 <= _SCORE_BUDGET
+    per_temp = max(_SCORE_BUDGET, n_pad * n_pad * 4)
+    return 6 * per_temp <= _VMEM_CAP
 
 
 def _masked_scores(q, k, scale, n, num_special):

@@ -139,17 +139,18 @@ def test_onchip_mask_replay_matches():  # pragma: no cover - chip only
 
 
 def test_supports_and_budget_restore():
-    """VMEM guard: sequence lengths whose single row-block score slice
-    exceeds the budget fall back to XLA (one clamped block would blow
-    scoped VMEM in the backward); set_budget(None) restores the default."""
-    assert fd.supports(197)   # flagship: 256-pad, 0.26 MB
-    assert fd.supports(512)   # exactly the 1 MB budget
-    assert not fd.supports(785)  # 896-pad: 3.2 MB > budget -> XLA fallback
-    fd.set_budget(4 * 1024 * 1024)
-    assert fd.supports(785)
+    """VMEM guard thresholds follow the MEASURED boundary
+    (logs/attn_microbench_drop.out): n_pad=896 compiles and wins 3.2x;
+    n_pad=1792 dies with a JaxRuntimeError -> XLA fallback instead.
+    set_budget(None) restores the default."""
+    assert fd.supports(197)    # flagship: 256-pad
+    assert fd.supports(785)    # 896-pad, ~19 MB working set: measured WIN
+    assert not fd.supports(1765)  # 1792-pad, ~77 MB: measured compile death
+    assert not fd.supports(3137)
+    fd.set_budget(4 * 1024 * 1024)  # raising the budget raises the floor
+    assert fd._SCORE_BUDGET == 4 * 1024 * 1024
     fd.set_budget(None)
     assert fd._SCORE_BUDGET == fd._DEFAULT_SCORE_BUDGET
-    assert not fd.supports(785)
 
 
 def test_rate_one_inv_keep_guard():
