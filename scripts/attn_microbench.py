@@ -114,6 +114,14 @@ def main() -> None:
     print(f"backend: {jax.default_backend()}  dtype: {a.dtype}")
     impls = IMPLS if a.dropout == 0.0 else ["xla", "pallas"]
     for shape in SHAPES:
+        if a.dropout > 0.0:
+            from eavit_tpu.ops import flash_dropout
+
+            if not flash_dropout.supports(shape[2]):
+                # the VMEM guard routes these shapes to XLA — a "pallas"
+                # timing here would silently measure XLA vs XLA
+                print(f"  (pallas falls back to xla at N={shape[2]}: "
+                      "flash_dropout VMEM guard)", flush=True)
         row = {}
         for impl in impls:
             try:
