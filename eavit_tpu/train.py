@@ -146,6 +146,69 @@ def setup_jax(cfg: Config) -> None:
         pass
 
 
+class _DeviceEnvHostAdapter:
+    """Minimal host-facing view of the jittable device env (reset / step /
+    sample_random_actions with the vector-env 5-tuple protocol) so the
+    SSL-pretraining loop — which the reference runs unconditionally on the
+    env type (train.py:292-499) — works under ``EnvType=synthetic_device``
+    too: random-action device rollouts feed the pretrainer."""
+
+    def __init__(self, env_params, num_envs: int):
+        from eavit_tpu.envs.device_env import device_env_reset, device_env_step
+
+        self.num_envs = num_envs
+        self.action_space_n = 5
+        self._reset = lambda: device_env_reset(env_params, num_envs)
+        self._step = jax.jit(lambda s, a: device_env_step(env_params, s, a))
+        self._state = None
+
+    def reset(self) -> np.ndarray:
+        self._state = self._reset()
+        return np.asarray(self._state.stack)
+
+    def step(self, actions):
+        self._state, r, d, t = self._step(self._state, jnp.asarray(actions))
+        return np.asarray(self._state.stack), np.asarray(r), np.asarray(d), np.asarray(t), []
+
+    def sample_random_actions(self, rng: np.random.Generator) -> np.ndarray:
+        return rng.integers(0, self.action_space_n, size=self.num_envs)
+
+
+def _device_env_stats_meta(env_state) -> Dict[str, Any]:
+    """Episode bookkeeping of the device env as a JSON-able dict (the
+    host path persists collector.stats the same way; reference
+    train.py:926-956 pickles metric deques + room sets)."""
+    ev = np.asarray(jax.device_get(env_state.ever_visited)).astype(bool)
+    return {
+        "finished_episodes": np.asarray(env_state.finished_episodes).tolist(),
+        "last_episode_return": np.asarray(env_state.last_episode_return).tolist(),
+        "last_episode_rooms": np.asarray(env_state.last_episode_rooms).tolist(),
+        "ever_visited_hex": np.packbits(ev, axis=None).tobytes().hex(),
+        "ever_visited_shape": list(ev.shape),
+    }
+
+
+def _restore_device_env_stats(env_state, metadata: Dict[str, Any]):
+    """Resume the device env's episode bookkeeping (the cumulative
+    ever-visited frontier and last-episode aggregates) from a checkpoint
+    sidecar; positions/stacks restart fresh, like the reference's env
+    workers on resume (train.py:198-238)."""
+    d = metadata.get("device_env_stats")
+    if not d:
+        return env_state
+    shape = tuple(d["ever_visited_shape"])
+    n_bits = int(np.prod(shape))
+    bits = np.unpackbits(
+        np.frombuffer(bytes.fromhex(d["ever_visited_hex"]), np.uint8)
+    )[:n_bits].reshape(shape).astype(bool)
+    return env_state._replace(
+        finished_episodes=jnp.asarray(d["finished_episodes"], jnp.int32),
+        last_episode_return=jnp.asarray(d["last_episode_return"], jnp.float32),
+        last_episode_rooms=jnp.asarray(d["last_episode_rooms"], jnp.int32),
+        ever_visited=jnp.asarray(bits),
+    )
+
+
 def _train_device_env(cfg: Config, logger: Logger,
                       total_updates: Optional[int],
                       profile_updates: int) -> Dict[str, Any]:
@@ -176,18 +239,31 @@ def _train_device_env(cfg: Config, logger: Logger,
     rng, k = jax.random.split(rng)
     state = agent.init_state(k)
     collector = ScanRolloutCollector(cfg, agent, env_params, mesh=mesh)
-    if mesh is not None:
-        env_state = collector.shard_env_state(env_state)
     ckpt = CheckpointManager(cfg.save_model_path, cfg.log_name, cfg.save_ckpt_every)
 
     start_update = 0
     if cfg.load_model and cfg.load_model_path:
-        # full resume: params, opt state, normalizers, counters (mirrors the
-        # host-env path below; reference train.py:198-238)
+        # full resume: params, opt state, normalizers, counters AND the env's
+        # episode bookkeeping (mirrors the host-env path below; reference
+        # train.py:198-238, 926-956)
         state, meta = load_checkpoint(cfg.load_model_path, state)
         start_update = int(meta.get("global_update", int(state.global_update)))
         ckpt.restore_best(meta)
+        env_state = _restore_device_env_stats(env_state, meta)
         logger.log(f"resumed from {cfg.load_model_path} @ update {start_update}")
+    if mesh is not None:
+        env_state = collector.shard_env_state(env_state)
+
+    if cfg.ssl_pretraining and cfg.representation_lr_method != RepresentationMethod.NONE:
+        # the reference's SSL-pretraining phase is unconditional on env type
+        # (train.py:292-499): run it here over random-action device rollouts
+        base_agent = agent.agent if hasattr(agent, "agent") else agent
+        rng, k = jax.random.split(rng)
+        state, _ = ssl_pretrain(
+            cfg, base_agent, state,
+            _DeviceEnvHostAdapter(env_params, cfg.num_env_per_process),
+            collector, logger, ckpt, k, cfg.ssl_pretrain_epochs,
+        )
 
     # warm-up: random-policy rollouts feed obs_rms (train.py:502-569)
     if agent.use_rnd and not cfg.load_model:
@@ -218,7 +294,9 @@ def _train_device_env(cfg: Config, logger: Logger,
             f"return {metrics.get('data/mean_undiscounted_episode_return', 0):.2f}"
         )
         ckpt.maybe_save(
-            state, update, {"global_update": update},
+            state, update,
+            {"global_update": update,
+             "device_env_stats": _device_env_stats_meta(env_state)},
             mean_episode_return=metrics.get("data/mean_undiscounted_episode_return"),
         )
         if logger.step_profiler():
