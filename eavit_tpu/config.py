@@ -246,6 +246,16 @@ class Config:
     # the Montezuma-shaped regime where extrinsic-only PPO flounders and
     # intrinsic exploration is required (envs/device_env.py)
     synthetic_sparse_goal: bool = False
+    # sparse-goal placement: 0 = BFS-farthest room (round-3 semantics);
+    # >0 = the reachable room whose BFS depth is closest to this target —
+    # direct control of sparse-reward difficulty (envs/device_env.py)
+    synthetic_goal_depth: int = 0
+    # linearly anneal the intrinsic-advantage coefficient to 0 over this
+    # many updates (0 = constant int_coef, the reference behavior,
+    # agents.py:472). Annealing lets the extrinsic gradient take over once
+    # exploration has surfaced the sparse reward (RND paper app. A.4 uses
+    # a related two-head discount split; this is the TPU-side knob).
+    int_coef_decay_updates: int = 0
     # SSL pretraining epoch budget, independent of total_updates (-1 = run
     # forever, like the reference's while-True SSL loop, train.py:342)
     ssl_pretrain_epochs: int = -1
@@ -395,6 +405,8 @@ _KEYMAP: Dict[str, Tuple[Tuple[str, ...], Any]] = {
     "SyntheticSharedWorld": (("synthetic_shared_world",), _as_bool),
     "SyntheticVariants": (("synthetic_variants",), int),
     "SyntheticSparseGoal": (("synthetic_sparse_goal",), _as_bool),
+    "SyntheticGoalDepth": (("synthetic_goal_depth",), int),
+    "IntCoefDecayUpdates": (("int_coef_decay_updates",), int),
     "SSLEpochs": (("ssl_pretrain_epochs",), int),
     "EvalEpisodes": (("eval_episodes",), int),
 }
@@ -543,6 +555,10 @@ def print_config_options() -> str:
     for key, (path, parse) in sorted(_KEYMAP.items()):
         tname = getattr(parse, "__name__", parse.__class__.__name__)
         lines.append(f"  {key:40s} -> {'.'.join(path):50s} ({tname})")
+    lines.append(
+        "Note: UseGPU is accepted for .conf parity and ignored — JAX binds "
+        "the accelerator automatically (TPU here; reference utils.py:604)."
+    )
     text = "\n".join(lines)
     print(text)
     return text

@@ -120,6 +120,7 @@ def make_device_env(
     shared_world: bool = False,
     variants: int = 1,
     sparse_goal: bool = False,
+    goal_depth: int = 0,
 ) -> Tuple[DeviceEnvParams, DeviceEnvState]:
     """Build per-env room frames (host, once) and the initial device state.
 
@@ -188,14 +189,26 @@ def make_device_env(
 
     goal_rooms = None
     if sparse_goal:
-        # goal = the BFS-farthest cell from the spawn in each world: the
-        # deepest leaf of the maze's spanning tree (or the torus antipode
-        # when maze=False) — the longest corridor a random walk must
-        # thread before EVER seeing extrinsic reward
+        # goal placement by BFS depth from the spawn. goal_depth=0 (default)
+        # keeps the round-3 semantics: the BFS-farthest cell — the deepest
+        # leaf of the maze's spanning tree (or the torus antipode when
+        # maze=False), the longest corridor a random walk must thread before
+        # EVER seeing extrinsic reward. goal_depth>0 instead picks the
+        # reachable cell whose depth is CLOSEST to the target (ties -> the
+        # deeper cell): direct control of sparse-reward difficulty, used by
+        # the round-4 middle-regime A/B (the round-3 extremes — depth 46
+        # single-variant and depth 231 flooded-novelty — bracketed the
+        # learnable band without landing in it).
         goals = []
         for i in range(n_worlds):
             dist = _bfs_distances(walls[i])
-            goals.append(int(np.argmax(dist)))
+            if goal_depth > 0:
+                d = np.where(dist >= 0, dist, -(10 ** 9))
+                # lexicographic argmin of (|d - target|, -d)
+                score = np.abs(d - goal_depth) * (2 * grid * grid) - d
+                goals.append(int(np.argmin(score)))
+            else:
+                goals.append(int(np.argmax(dist)))
         goal_rooms = jnp.asarray(goals, jnp.int32)
 
     params = DeviceEnvParams(

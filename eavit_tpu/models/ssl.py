@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from eavit_tpu.config import Config, RepresentationMethod
-from eavit_tpu.models.layers import torch_linear_kernel_init
+from eavit_tpu.models.layers import torch_linear_bias_init, torch_linear_kernel_init
 from eavit_tpu.models.policy import build_backbone
 from eavit_tpu.ops.augment import ssl_augment_pair
 
@@ -54,7 +54,7 @@ class BNMLP(nn.Module):
         x = nn.Dense(
             self.hidden_size,
             kernel_init=torch_linear_kernel_init(),
-            bias_init=torch_linear_kernel_init(),
+            bias_init=torch_linear_bias_init(x.shape[-1]),
             name="fc1",
         )(x)
         scale = self.param("bn_scale", nn.initializers.ones, (self.hidden_size,))
@@ -63,7 +63,7 @@ class BNMLP(nn.Module):
         return nn.Dense(
             self.out_size,
             kernel_init=torch_linear_kernel_init(),
-            bias_init=torch_linear_kernel_init(),
+            bias_init=torch_linear_bias_init(self.hidden_size),
             name="fc2",
         )(x)
 

@@ -43,7 +43,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from eavit_tpu.config import ViTConfig, ViTHGConfig
-from eavit_tpu.models.layers import Dropout16, torch_linear_kernel_init
+from eavit_tpu.models.layers import (
+    Dropout16,
+    torch_linear_bias_init,
+    torch_linear_kernel_init,
+)
 from eavit_tpu.ops.attention import mha
 
 
@@ -124,7 +128,7 @@ class MultiHeadAttention(nn.Module):
             out = nn.Dense(
                 self.dim,
                 kernel_init=torch_linear_kernel_init(),
-                bias_init=torch_linear_kernel_init(),
+                bias_init=torch_linear_bias_init(inner),
                 dtype=self.dtype,
                 name="to_out",
             )(out)
@@ -156,8 +160,10 @@ class _DenseParams(nn.Module):
         k = self.param(
             "kernel", torch_linear_kernel_init(), (self.fan_in, self.features)
         )
+        # torch nn.Linear bias bound is 1/sqrt(fan_in) — the kernel init
+        # on a (features,) shape would use fan_out (ADVICE r3)
         b = self.param(
-            "bias", torch_linear_kernel_init(), (self.features,)
+            "bias", torch_linear_bias_init(self.fan_in), (self.features,)
         )
         return k, b
 
@@ -201,7 +207,7 @@ class FeedForward(nn.Module):
         x = nn.Dense(
             self.hidden_dim,
             kernel_init=torch_linear_kernel_init(),
-            bias_init=torch_linear_kernel_init(),
+            bias_init=torch_linear_bias_init(self.dim),
             dtype=self.dtype,
             name="fc1",
         )(x)
@@ -210,7 +216,7 @@ class FeedForward(nn.Module):
         x = nn.Dense(
             self.dim,
             kernel_init=torch_linear_kernel_init(),
-            bias_init=torch_linear_kernel_init(),
+            bias_init=torch_linear_bias_init(self.hidden_dim),
             dtype=self.dtype,
             name="fc2",
         )(x)
@@ -304,7 +310,7 @@ class DualTokenViT(nn.Module):
         x = nn.Dense(
             c.dim,
             kernel_init=torch_linear_kernel_init(),
-            bias_init=torch_linear_kernel_init(),
+            bias_init=torch_linear_bias_init(patch_dim),
             dtype=self.dtype,
             name="patch_proj",
         )(x)

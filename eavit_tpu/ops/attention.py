@@ -34,6 +34,7 @@ see tests/test_dual_query.py for the equivalence oracle.)
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -122,13 +123,22 @@ def _softmax_cast(dots: jnp.ndarray, out_dtype) -> jnp.ndarray:
     bf16-quantized probabilities upcast to f32 — probability quantization
     error ~2^-8 relative, the same order as the bf16 PV matmul the value
     path already performs.
+
+    Escape hatch (ADVICE r3): set ``EAVIT_SOFTMAX_F32_RESIDUAL=1`` (env, read
+    at import; tests may toggle the module flag) to save the f32
+    probabilities instead — bit-closer gradients for parity debugging, at
+    the reference's HBM cost.
     """
     return jax.nn.softmax(dots, axis=-1).astype(out_dtype)
 
 
+F32_RESIDUAL = os.environ.get("EAVIT_SOFTMAX_F32_RESIDUAL", "0") == "1"
+
+
 def _softmax_cast_fwd(dots, out_dtype):
-    s = jax.nn.softmax(dots, axis=-1).astype(out_dtype)
-    return s, s
+    p = jax.nn.softmax(dots, axis=-1)
+    s = p.astype(out_dtype)
+    return s, (p if F32_RESIDUAL else s)
 
 
 def _softmax_cast_bwd(out_dtype, s, g):

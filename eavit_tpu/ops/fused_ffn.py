@@ -361,6 +361,11 @@ def fused_ffn(
 
     ``rng`` may be None when ``rate == 0`` (deterministic eval path).
     """
+    if rate > 0.0 and rng is None:
+        # checked before the backend dispatch so CPU/GPU fail with the
+        # same error instead of jax.random.split(None) deep in the
+        # reference path (ADVICE r3)
+        raise ValueError("dropout rate > 0 requires an rng")
     lead = x.shape[:-1]
     dim = x.shape[-1]
     x2 = x.reshape(-1, dim)
@@ -369,8 +374,6 @@ def fused_ffn(
         y = _xla_reference(x2, params, rng, eps, rate)
         return y.reshape(*lead, dim)
     if rate > 0.0:
-        if rng is None:
-            raise ValueError("dropout rate > 0 requires an rng")
         seeds = _seeds_from_rng(rng)
     else:
         seeds = jnp.zeros((2,), jnp.int32)

@@ -151,7 +151,14 @@ class RNDAgent:
             chain.append(optax.clip_by_global_norm(self.cfg.max_grad_norm))
         # torch.optim.Adam defaults (reference agents.py:158)
         chain.append(
-            optax.adam(self.cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+            # StableEps wires to the Adam eps here. The reference parses the
+            # key but never reads it (its Adam uses torch's default 1e-8,
+            # agents.py:161; utils.py:630) — honoring it is this repo's
+            # policy for parsed-but-dead reference keys (like
+            # UpdateProportion, config.py:12-14); the default matches the
+            # reference's effective value, so .conf parity is unchanged.
+            optax.adam(self.cfg.learning_rate, b1=0.9, b2=0.999,
+                       eps=self.cfg.stable_eps)
         )
         return optax.chain(*chain)
 
@@ -398,7 +405,22 @@ class RNDAgent:
                 cfg.gae_lambda,
                 cfg.use_gae,
             )
-            total_adv = int_adv * cfg.int_coef + ext_adv * cfg.ext_coef
+            # intrinsic-advantage coefficient, optionally annealed to 0 over
+            # int_coef_decay_updates (0 = the reference's constant int_coef,
+            # agents.py:472). global_update is a traced state scalar, so the
+            # schedule is jit-stable (no recompiles across updates).
+            int_coef = cfg.int_coef
+            if cfg.int_coef_decay_updates > 0:
+                frac = jnp.clip(
+                    1.0
+                    - state.global_update.astype(jnp.float32)
+                    / float(cfg.int_coef_decay_updates),
+                    0.0,
+                    1.0,
+                )
+                int_coef = cfg.int_coef * frac
+                metrics["train/int_coef"] = int_coef
+            total_adv = int_adv * int_coef + ext_adv * cfg.ext_coef
             int_target = int_tgt.reshape(-1)
         else:
             total_adv = ext_adv * cfg.ext_coef

@@ -230,6 +230,7 @@ def _train_device_env(cfg: Config, logger: Logger,
         shared_world=cfg.synthetic_shared_world,
         variants=cfg.synthetic_variants,
         sparse_goal=cfg.synthetic_sparse_goal,
+        goal_depth=cfg.synthetic_goal_depth,
     )
     # device env action set is 5; multi-device runs get the DP agent and a
     # shard_mapped scan rollout (zero-host pipeline scales over the mesh)

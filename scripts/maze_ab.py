@@ -60,7 +60,8 @@ def make_cfg(arm: str, seed: int, entropy: float = 0.001,
              ext_coef: float = 0.0, shared: bool = False,
              modified: bool = False, ssl: str = "None",
              hg: bool = False, sparse: bool = False,
-             obs_norm: int = 50) -> Config:
+             obs_norm: int = 50, goal_depth: int = 0,
+             int_decay: int = 0, merge: int = 1) -> Config:
     if arm == "rnd":
         method = (
             TrainMethod.MODIFIED_RND if modified else TrainMethod.ORIGINAL_RND
@@ -111,6 +112,9 @@ def make_cfg(arm: str, seed: int, entropy: float = 0.001,
         obs_norm_step=obs_norm,
         total_updates=-1,
         synthetic_sparse_goal=sparse,
+        synthetic_goal_depth=goal_depth,
+        int_coef_decay_updates=int_decay,
+        minibatch_merge=merge,
         **kw,
     )
 
@@ -123,13 +127,15 @@ def run(arm: str, updates: int, seed: int, out_dir: str,
         variants: int = 1, ext_coef: float = 0.0,
         shared: bool = False, modified: bool = False,
         ssl: str = "None", hg: bool = False, sparse: bool = False,
-        obs_norm: int = 50) -> None:
+        obs_norm: int = 50, goal_depth: int = 0, int_decay: int = 0,
+        merge: int = 1) -> None:
     cfg = make_cfg(arm, seed, entropy=entropy, int_coef=int_coef, lr=lr,
                    maze=maze, update_proportion=update_proportion,
                    grid=grid, ep_len=ep_len, num_envs=num_envs,
                    variants=variants, ext_coef=ext_coef, shared=shared,
                    modified=modified, ssl=ssl, hg=hg, sparse=sparse,
-                   obs_norm=obs_norm)
+                   obs_norm=obs_norm, goal_depth=goal_depth,
+                   int_decay=int_decay, merge=merge)
     setup_jax(cfg)
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{arm}{tag}_seed{seed}.jsonl")
@@ -147,6 +153,7 @@ def run(arm: str, updates: int, seed: int, out_dir: str,
         shared_world=True,
         variants=cfg.synthetic_variants,
         sparse_goal=cfg.synthetic_sparse_goal,
+        goal_depth=cfg.synthetic_goal_depth,
     )
     agent = RNDAgent(cfg, 5)
     rng = jax.random.PRNGKey(cfg.seed)
@@ -258,6 +265,17 @@ if __name__ == "__main__":
                         "room (terminates the episode) — the Montezuma-"
                         "shaped A/B where ext-only PPO flounders and "
                         "RND+ext must explore to ever see reward")
+    p.add_argument("--goal_depth", type=int, default=0,
+                   help="sparse-goal BFS depth target (0 = farthest room, "
+                        "round-3 semantics). The round-4 middle regime "
+                        "places the goal at depth ~20-30 so intrinsic "
+                        "exploration can chaperone the policy to it")
+    p.add_argument("--int_decay", type=int, default=0,
+                   help="anneal int_coef linearly to 0 over N updates "
+                        "(0 = constant): lets the extrinsic gradient take "
+                        "over once the sparse reward has been surfaced")
+    p.add_argument("--merge", type=int, default=1,
+                   help="MiniBatchMerge: m minibatches per optimizer step")
     p.add_argument("--ext_coef", type=float, default=0.0,
                    help="extrinsic advantage coefficient; 0 = reward-free "
                         "A/B, 2 = the reference flagship's ext+int vs "
@@ -269,4 +287,5 @@ if __name__ == "__main__":
         grid=a.grid, ep_len=a.ep_len, num_envs=a.num_envs,
         variants=a.variants, ext_coef=a.ext_coef, shared=a.shared,
         modified=a.modified, ssl=a.ssl, hg=a.hg, sparse=a.sparse,
-        obs_norm=a.obs_norm)
+        obs_norm=a.obs_norm, goal_depth=a.goal_depth,
+        int_decay=a.int_decay, merge=a.merge)
