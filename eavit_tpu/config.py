@@ -204,8 +204,10 @@ class Config:
     # dropout. Off by default pending the on-chip A/B vs XLA.
     fused_ffn: bool = False
     # explicit attention implementation: "xla" | "pallas" (batch-blocked
-    # fused kernel) | "pallas_stream" (KV-streaming flash). Empty = derive
-    # from use_pallas_attention.
+    # fused kernel) | "pallas_stream" (KV-streaming flash) | "pallas_qkv"
+    # (boundary-free fused kernel consuming the raw qkv projection,
+    # ops/flash_qkv — zero layout copies at the pallas_call boundary).
+    # Empty = derive from use_pallas_attention.
     attention_impl: str = ""
     # Fused dual-query shared-KV mode (SURVEY §5): one masked sequence
     # [tok_explore, tok_exploit, patches] instead of a 2B token-stream stack —

@@ -91,6 +91,25 @@ class MultiHeadAttention(nn.Module):
             dtype=self.dtype,
             name="to_qkv",
         )(x)
+
+        if self.attention_impl == "pallas_qkv":
+            # boundary-free fused path (ops/flash_qkv): the kernel consumes
+            # the raw [B, N, 3*inner] Dense output and returns [B, N, inner]
+            # directly — head split, attention (+ in-kernel probability
+            # dropout), and head merge all happen in VMEM, so none of the
+            # split/transpose/pad layout copies the 4-D kernels force at
+            # the pallas_call boundary exist (VERDICT r3 item 4).
+            from eavit_tpu.ops.flash_qkv import flash_mha_qkv
+
+            training = self.dropout > 0.0 and not deterministic
+            out = flash_mha_qkv(
+                qkv, self.heads, self.dim_head,
+                rng=self.make_rng("dropout") if training else None,
+                rate=self.dropout if training else 0.0,
+                num_special=self.num_special,
+            )
+            return self._project_out(out, inner, deterministic)
+
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads_split(t):
@@ -122,7 +141,13 @@ class MultiHeadAttention(nn.Module):
             out = Dropout16(self.dropout)(out, deterministic=deterministic)
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        return self._project_out(out, inner, deterministic)
 
+    def _project_out(
+        self, out: jnp.ndarray, inner: int, deterministic: bool
+    ) -> jnp.ndarray:
+        # plain helper invoked from __call__'s compact scope (flax permits
+        # only one @nn.compact method; param creation here still binds)
         project_out = not (self.heads == 1 and self.dim_head == self.dim)
         if project_out:
             out = nn.Dense(

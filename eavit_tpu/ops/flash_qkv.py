@@ -1,0 +1,399 @@
+"""Boundary-free fused flash attention: consumes the RAW qkv projection.
+
+Round-3 measurement (BASELINE.md round 3b): the fused dropout flash kernel
+(`ops/flash_dropout`) wins 1.29-3.2x in ISOLATION but loses IN-CONTEXT at
+the flagship shape (N=197, D=32) — not on kernel math, but on the layout
+work `pallas_call` forces at its boundary. The standard call path
+materializes, per layer per minibatch, in HBM:
+
+  [B, N, 3I] --split--> 3x[B, N, I] --reshape+transpose--> 3x[B, H, N, D]
+  --pad--> 3x[BH_pad, N_pad, D]   (kernel)   [BH_pad, N_pad, D]
+  --slice+transpose+reshape--> [B, N, I]
+
+Six-plus whole-tensor copies that XLA cannot fuse away because
+``pallas_call`` pins its operands to default layouts. This kernel deletes
+ALL of them (VERDICT r3 item 4):
+
+- **Input** is the raw ``[B, N, 3*I]`` output of the qkv Dense — exactly
+  the layout the MXU matmul produces. One block per grid cell
+  ``(gb, N_pad, 3I)``; 3I = 768 lanes is 128-aligned at the flagship dim.
+- **Head split happens in VMEM**: the kernel statically loops over heads,
+  lane-slicing ``q_h = qkv[:, :, hD:(h+1)D]`` etc. — a register relayout,
+  not an HBM pass.
+- **Output merge happens in VMEM**: head ``h``'s context vectors are
+  written to lane slice ``o[:, :, hD:(h+1)D]`` of ONE ``[B, N, I]``
+  output — already the layout the ``to_out`` Dense consumes.
+- **No HBM padding**: the grid ceil-divides the batch and the single
+  N-block overhangs the sequence; out-of-bounds garbage is zero-masked
+  once per block after load (garbage in a dot-general operand would
+  otherwise poison valid rows through 0*NaN).
+- **Backward emits the merged ``d_qkv`` cotangent directly** — dq/dk/dv
+  are lane-slices of one output block, so the backward boundary copies
+  (and the 3-way concat XLA would need to reach the Dense VJP) vanish too.
+
+Dropout (attention-probability dropout, reference vit.py:68) follows the
+`ops/flash_dropout` contract exactly: on-core PRNG
+(``pltpu.prng_random_bits``), 24-bit keep threshold, mask REGENERATED in
+the backward from the same (seed, grid cell, head) tuple — never stored.
+``dropout_raw_bits_qkv`` replays the stream for bit-exact on-chip
+verification (scripts/tpu_kernel_check.py).
+
+Grid-cell PRNG contract: cell ``i`` seeds ``seed0 + i*heads + h`` before
+head ``h``'s draw; forward and backward share one batch-blocking
+(``_SCORE_BUDGET``), so the masks match bit-exactly across passes.
+
+Fallbacks: non-TPU backends run the kernel in interpreter mode when
+``rate == 0`` (CPU tests cover the masking/overhang math) and the XLA path
+(`ops/attention.mha` semantics, host-PRNG dropout — same distribution,
+different bits) when ``rate > 0``; sequence lengths whose working set
+would overflow VMEM (`supports`) also take the XLA path.
+
+Reference hot spot this (together with the shared-patch-stream mode)
+replaces: the double encoder pass vit_hg.py:322-366 / model.py:273-280.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from eavit_tpu.ops.kernel_prng import (
+    inv_keep_scale,
+    keep_mask_24 as _keep_mask,
+    keep_threshold,
+    pad_to as _pad_to,
+    seeds_from_rng as _seeds_from_rng,
+)
+
+_LANE = 128
+# One budget for BOTH passes (backward must re-derive the identical
+# grid-cell -> batch-rows mapping to regenerate the dropout bits). The
+# backward keeps ~6 score-sized f32 temporaries live PER HEAD; heads are
+# processed sequentially, so Mosaic's liveness reuses the buffers across
+# the unrolled head loop.
+_DEFAULT_SCORE_BUDGET = 1024 * 1024
+_SCORE_BUDGET = _DEFAULT_SCORE_BUDGET
+
+_VMEM_CAP = 40 * 1024 * 1024  # see ops/flash_dropout._VMEM_CAP provenance
+
+
+def set_budget(budget: int | None = None) -> None:
+    """Override the per-cell score budget (bytes) for on-chip sweeps;
+    ``None`` restores the tuned default."""
+    global _SCORE_BUDGET
+    _SCORE_BUDGET = _DEFAULT_SCORE_BUDGET if budget is None else budget
+
+
+def _batch_block(n_pad: int) -> int:
+    per_row = n_pad * n_pad * 4  # one batch row's f32 scores for one head
+    return max(1, _SCORE_BUDGET // per_row)
+
+
+def supports(n: int) -> bool:
+    """True when the backward's per-head recompute working set fits VMEM."""
+    n_pad = _pad_to(n, _LANE)
+    per_temp = max(_SCORE_BUDGET, n_pad * n_pad * 4)
+    return 6 * per_temp <= _VMEM_CAP
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _masked_scores(q, k, scale, n, num_special):
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [gb, Np, Np]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(col < n, s, -jnp.inf)
+    if num_special:
+        # dual-query shared-KV mask (ops/attention.py module doc)
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        allowed = ((row >= num_special) & (col >= num_special)) | (
+            (row < num_special) & ((col == row) | (col >= num_special))
+        )
+        s = jnp.where(allowed, s, -jnp.inf)
+    return s
+
+
+def _zero_overhang(x, n):
+    """Zero rows >= n of a [gb, Np, *] block: the single N-block overhangs
+    the real sequence, and out-of-bounds reads are undefined (a NaN there
+    would poison valid rows via 0*NaN in the dot-generals)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(row < n, x, 0.0)
+
+
+def _fwd_kernel(
+    seed_ref, qkv_ref, o_ref, lse_ref,
+    *, scale, n, heads, dim_head, num_special, thresh, inv_keep,
+):
+    inner = heads * dim_head
+    qkv = _zero_overhang(qkv_ref[...].astype(jnp.float32), n)
+    for h in range(heads):
+        if thresh is not None:
+            # per-(cell, head) seed; int32 wraparound is deterministic and
+            # identical in the backward
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * heads + h, seed_ref[1])
+        lo = h * dim_head
+        q = jax.lax.slice_in_dim(qkv, lo, lo + dim_head, axis=2)
+        k = jax.lax.slice_in_dim(qkv, inner + lo, inner + lo + dim_head, axis=2)
+        v = jax.lax.slice_in_dim(qkv, 2 * inner + lo, 2 * inner + lo + dim_head, axis=2)
+
+        s = _masked_scores(q, k, scale, n, num_special)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        sigma = p / l
+        if thresh is not None:
+            keep = _keep_mask(s.shape, thresh)
+            sigma = jnp.where(keep, sigma * inv_keep, 0.0)
+        o = jax.lax.dot_general(
+            sigma, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, lo:lo + dim_head] = o.astype(o_ref.dtype)
+        lse_ref[:, h, :] = (m + jnp.log(l))[:, :, 0]
+
+
+def _bwd_kernel(
+    seed_ref, qkv_ref, lse_ref, do_ref, dqkv_ref,
+    *, scale, n, heads, dim_head, num_special, thresh, inv_keep,
+):
+    inner = heads * dim_head
+    qkv = _zero_overhang(qkv_ref[...].astype(jnp.float32), n)
+    do_all = _zero_overhang(do_ref[...].astype(jnp.float32), n)
+    for h in range(heads):
+        if thresh is not None:
+            # identical seeding + identical block shape -> identical mask
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * heads + h, seed_ref[1])
+        lo = h * dim_head
+        q = jax.lax.slice_in_dim(qkv, lo, lo + dim_head, axis=2)
+        k = jax.lax.slice_in_dim(qkv, inner + lo, inner + lo + dim_head, axis=2)
+        v = jax.lax.slice_in_dim(qkv, 2 * inner + lo, 2 * inner + lo + dim_head, axis=2)
+        do = jax.lax.slice_in_dim(do_all, lo, lo + dim_head, axis=2)
+        lse = lse_ref[:, h, :][:, :, None]
+
+        s = _masked_scores(q, k, scale, n, num_special)
+        sigma = jnp.exp(s - lse)
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        sigma = jnp.where((row < n) & (col < n), sigma, 0.0)
+
+        if thresh is not None:
+            keep = _keep_mask(s.shape, thresh)
+            pd = jnp.where(keep, sigma * inv_keep, 0.0)
+        else:
+            pd = sigma
+        dv = jax.lax.dot_general(  # Pd^T dO
+            pd, do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dpd = jax.lax.dot_general(  # dO V^T
+            do, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if thresh is not None:
+            dsigma = jnp.where(keep, dpd * inv_keep, 0.0)
+        else:
+            dsigma = dpd
+        rowsum = jnp.sum(dsigma * sigma, axis=-1, keepdims=True)
+        ds = sigma * (dsigma - rowsum) * scale
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dt = dqkv_ref.dtype
+        dqkv_ref[:, :, lo:lo + dim_head] = dq.astype(dt)
+        dqkv_ref[:, :, inner + lo:inner + lo + dim_head] = dk.astype(dt)
+        dqkv_ref[:, :, 2 * inner + lo:2 * inner + lo + dim_head] = dv.astype(dt)
+
+
+def _geom(b: int, n: int):
+    n_pad = _pad_to(n, _LANE)
+    gb = _batch_block(n_pad)
+    nb = -(-b // gb)  # cdiv: the last block overhangs; kernel masks
+    return n_pad, gb, nb
+
+
+def _fwd(qkv, seeds, scale, heads, dim_head, num_special, thresh):
+    b, n, three_i = qkv.shape
+    inner = three_i // 3
+    n_pad, gb, nb = _geom(b, n)
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, n=n, heads=heads, dim_head=dim_head,
+        num_special=num_special, thresh=thresh,
+        inv_keep=inv_keep_scale(thresh) if thresh is not None else 1.0,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((gb, n_pad, three_i), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((gb, n_pad, inner), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, heads, n_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb * gb, n_pad, inner), qkv.dtype),
+            jax.ShapeDtypeStruct((nb * gb, heads, n_pad), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(seeds, qkv)
+    return o[:b, :n], lse
+
+
+def _bwd(heads, dim_head, scale, num_special, thresh, res, cot):
+    qkv, lse, seeds = res
+    b, n, three_i = qkv.shape
+    n_pad, gb, nb = _geom(b, n)
+    kernel = functools.partial(
+        _bwd_kernel, scale=scale, n=n, heads=heads, dim_head=dim_head,
+        num_special=num_special, thresh=thresh,
+        inv_keep=inv_keep_scale(thresh) if thresh is not None else 1.0,
+    )
+    inner = three_i // 3
+    dqkv = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((gb, n_pad, three_i), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, heads, n_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, n_pad, inner), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, n_pad, three_i), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * gb, n_pad, three_i), qkv.dtype),
+        interpret=_interpret(),
+    )(seeds, qkv, lse, cot)
+    return dqkv[:b, :n], None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _flash_qkv(qkv, seeds, heads, dim_head, scale, num_special, thresh):
+    o, _ = _fwd(qkv, seeds, scale, heads, dim_head, num_special, thresh)
+    return o
+
+
+def _flash_qkv_fwd(qkv, seeds, heads, dim_head, scale, num_special, thresh):
+    o, lse = _fwd(qkv, seeds, scale, heads, dim_head, num_special, thresh)
+    return o, (qkv, lse, seeds)
+
+
+def _flash_qkv_bwd(heads, dim_head, scale, num_special, thresh, res, cot):
+    return _bwd(heads, dim_head, scale, num_special, thresh, res, cot)
+
+
+_flash_qkv.defvjp(_flash_qkv_fwd, _flash_qkv_bwd)
+
+
+def _xla_reference(qkv, heads, dim_head, rng, rate, scale, num_special):
+    """Split/transpose + `ops.attention.mha` (identical math; host-PRNG
+    dropout bits when rate > 0 — same distribution, different bits)."""
+    from eavit_tpu.ops.attention import mha
+
+    b, n, _ = qkv.shape
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads_split(t):
+        return t.reshape(b, n, heads, dim_head).transpose(0, 2, 1, 3)
+
+    out = mha(
+        heads_split(q), heads_split(k), heads_split(v),
+        scale=scale, impl="xla", num_special=num_special,
+        dropout_rate=rate, dropout_rng=rng,
+    )
+    return out.transpose(0, 2, 1, 3).reshape(b, n, heads * dim_head)
+
+
+def flash_mha_qkv(
+    qkv: jnp.ndarray,  # [B, N, 3*heads*dim_head]: raw qkv Dense output
+    heads: int,
+    dim_head: int,
+    rng: jax.Array | None = None,
+    rate: float = 0.0,
+    scale: float | None = None,
+    num_special: int = 0,
+) -> jnp.ndarray:
+    """Multi-head ``dropout(softmax(q k^T * scale)) v`` -> [B, N, I], fused
+    from the raw qkv projection with zero boundary layout work (module doc).
+    """
+    if qkv.shape[-1] != 3 * heads * dim_head:
+        raise ValueError(
+            f"qkv last dim {qkv.shape[-1]} != 3*heads*dim_head "
+            f"({3 * heads * dim_head})"
+        )
+    if scale is None:
+        scale = dim_head ** -0.5
+    if rate > 0.0 and rng is None:
+        raise ValueError("rate > 0 requires an rng")
+    on_tpu = jax.default_backend() == "tpu"
+    if (rate > 0.0 and not on_tpu) or not supports(qkv.shape[1]):
+        # interpreter mode has no on-core PRNG; oversize sequences would
+        # overflow the per-cell VMEM working set
+        return _xla_reference(qkv, heads, dim_head, rng, rate, scale, num_special)
+    if rate > 0.0:
+        seeds = _seeds_from_rng(rng)
+        thresh = keep_threshold(rate)
+    else:
+        seeds = jnp.zeros((2,), jnp.int32)
+        thresh = None
+    return _flash_qkv(
+        qkv, seeds, int(heads), int(dim_head), float(scale),
+        int(num_special), thresh,
+    )
+
+
+# ---------------------------------------------------------------------------
+# on-chip verification support
+# ---------------------------------------------------------------------------
+
+
+def _bits_kernel(seed_ref, o_ref, *, heads):
+    # o_ref: [gb, heads, Np, Np]; replay head h's stream with its exact seed
+    gb, _, n_pad, _ = o_ref.shape
+    for h in range(heads):
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * heads + h, seed_ref[1])
+        bits = pltpu.prng_random_bits((gb, n_pad, n_pad))
+        o_ref[:, h, :, :] = jax.lax.shift_right_logical(
+            pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
+        ).astype(jnp.int32)
+
+
+def dropout_raw_bits_qkv(
+    b: int, heads: int, n: int, seeds: jax.Array
+) -> jnp.ndarray:
+    """Replay the kernel's PRNG streams on an identical grid.
+
+    Returns the raw 24-bit threshold values as int32 [B, H, N, N]; the keep
+    mask the fwd/bwd kernels used is ``bits < keep_threshold(rate)``.
+    """
+    n_pad, gb, nb = _geom(b, n)
+    bits = pl.pallas_call(
+        functools.partial(_bits_kernel, heads=heads),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(
+            (gb, heads, n_pad, n_pad), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb * gb, heads, n_pad, n_pad), jnp.int32),
+    )(seeds)
+    return bits[:b, :, :n, :n]

@@ -145,6 +145,72 @@ def run_case_dropout(shape, dtype, num_special: int, rate: float) -> float:
     return rel
 
 
+def run_case_qkv(
+    b: int, heads: int, n: int, d: int, dtype, num_special: int, rate: float
+) -> float:
+    """Exact-mask check of the boundary-free qkv kernel (ops/flash_qkv).
+
+    Replays the per-(cell, head) PRNG streams (`dropout_raw_bits_qkv`,
+    identical grid + seeding), builds an XLA reference over the SAME raw
+    [B, N, 3I] projection applying THAT mask, and compares forward output
+    and the merged d_qkv cotangent. rate=0 checks the dropout-free path
+    (act/eval) through the same kernel."""
+    from eavit_tpu.ops import flash_qkv as fq
+    from eavit_tpu.ops.attention import dual_query_allowed, _NEG_INF
+
+    inner = heads * d
+    ks = jax.random.split(jax.random.PRNGKey(5), 2)
+    qkv = jax.random.normal(ks[0], (b, n, 3 * inner), dtype)
+    scale = d ** -0.5
+    seeds = fq._seeds_from_rng(ks[1])
+    thresh = fq.keep_threshold(rate) if rate > 0.0 else None
+    if thresh is not None:
+        bits = jax.jit(fq.dropout_raw_bits_qkv, static_argnums=(0, 1, 2))(
+            b, heads, n, seeds
+        )
+        keep = jnp.asarray(np.asarray(bits) < thresh)  # [B, H, N, N]
+        inv_keep = float((1 << 24) / thresh)
+        assert 0.0 < float(keep.mean()) < 1.0, "degenerate mask"
+
+    w = (jnp.arange(b * n * inner, dtype=jnp.float32).reshape(b, n, inner) % 7)
+
+    def loss_ref(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hs = lambda t: t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+        q, k, v = hs(q), hs(k), hs(v)
+        s = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if num_special:
+            allowed = dual_query_allowed(n, n, num_special)
+            s = jnp.where(allowed, s, _NEG_INF)
+        sigma = jax.nn.softmax(s, axis=-1)
+        if thresh is not None:
+            sigma = jnp.where(keep, sigma * inv_keep, 0.0)
+        o = jnp.einsum("bhnm,bhmd->bhnd", sigma, v.astype(jnp.float32))
+        o = o.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        return jnp.sum(o * w)
+
+    def loss_ker(qkv):
+        o = fq._flash_qkv(qkv, seeds, heads, d, scale, num_special, thresh)
+        return jnp.sum(o.astype(jnp.float32) * w)
+
+    f_ref = jax.jit(jax.value_and_grad(loss_ref))
+    f_ker = jax.jit(jax.value_and_grad(loss_ker))
+    prec = "highest" if dtype == jnp.float32 else "default"
+    with jax.default_matmul_precision(prec):
+        val_r, g_r = f_ref(qkv)
+        val_k, g_k = f_ker(qkv)
+    rel = abs(float(val_k) - float(val_r)) / max(1.0, abs(float(val_r)))
+    g_r = np.asarray(g_r, np.float32)
+    g_k = np.asarray(g_k, np.float32)
+    rel = max(
+        rel,
+        float(np.max(np.abs(g_k - g_r)) / max(1e-6, float(np.max(np.abs(g_r))))),
+    )
+    return rel
+
+
 def run_case_ffn(rows: int, dim: int, hid: int, dtype, rate: float) -> float:
     """Exact-mask check of the fused FFN kernel (ops/fused_ffn).
 
@@ -216,7 +282,7 @@ def main() -> None:
 
     p = argparse.ArgumentParser()
     p.add_argument("--impls", type=str,
-                   default=",".join(IMPLS) + ",pallas_drop,fused_ffn",
+                   default=",".join(IMPLS) + ",pallas_drop,fused_ffn,pallas_qkv",
                    help="comma-separated subset of kernels to check")
     impls = p.parse_args().impls.split(",")
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}")
@@ -241,6 +307,27 @@ def main() -> None:
                             f"rel_err={err:.2e} (tol {tol:.0e})",
                             flush=True,
                         )
+            continue
+        if impl == "pallas_qkv":
+            # (B, heads, N, D): flagship shared mode = 256x8x199x32,
+            # exact stacked = 512x8x197x32; plus misaligned small case
+            for b, heads, n, d in [(256, 8, 199, 32), (512, 8, 197, 32),
+                                   (7, 4, 130, 64)]:
+                for dtype in DTYPES:
+                    for sp in SPECIALS:
+                        for rate in (0.0, 0.1):
+                            err = run_case_qkv(b, heads, n, d, dtype, sp, rate)
+                            tol = TOL[dtype]
+                            ok = err <= tol
+                            failures += not ok
+                            print(
+                                f"{'PASS' if ok else 'FAIL'} pallas_qkv     "
+                                f"B{b}xH{heads}xN{n}xD{d} "
+                                f"{jnp.dtype(dtype).name:9s} special={sp} "
+                                f"rate={rate} "
+                                f"rel_err={err:.2e} (tol {tol:.0e})",
+                                flush=True,
+                            )
             continue
         if impl == "pallas_drop":
             for shape in [(64, 8, 197, 32), (7, 8, 197, 32), (16, 4, 130, 64)]:
