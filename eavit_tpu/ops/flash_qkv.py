@@ -71,14 +71,19 @@ from eavit_tpu.ops.kernel_prng import (
 
 _LANE = 128
 # One budget for BOTH passes (backward must re-derive the identical
-# grid-cell -> batch-rows mapping to regenerate the dropout bits). The
-# backward keeps ~6 score-sized f32 temporaries live PER HEAD; heads are
-# processed sequentially, so Mosaic's liveness reuses the buffers across
-# the unrolled head loop.
-_DEFAULT_SCORE_BUDGET = 1024 * 1024
+# grid-cell -> batch-rows mapping to regenerate the dropout bits).
+# MEASURED CONSTRAINT (v5e, logs/kernel_check_qkv.out round 4): Mosaic does
+# NOT reuse stack allocations across the unrolled in-kernel head loop — the
+# backward's ~5 score-sized f32 temporaries stay live PER HEAD, so the
+# per-cell stack is ~5 * heads * (gb * n_pad^2 * 4) bytes against a 16 MB
+# scoped-vmem limit. gb=4 (budget 1 MB) OOMed at 37.18 MB with 8 heads;
+# 256 KB keeps gb=1 at the flagship n_pad=256: 8 heads * 5 * 256 KB = 10 MB.
+_DEFAULT_SCORE_BUDGET = 256 * 1024
 _SCORE_BUDGET = _DEFAULT_SCORE_BUDGET
 
-_VMEM_CAP = 40 * 1024 * 1024  # see ops/flash_dropout._VMEM_CAP provenance
+# scoped-vmem stack limit the backward must fit (XLA default, see the
+# compile error text in logs/kernel_check_qkv.out)
+_STACK_CAP = 16 * 1024 * 1024
 
 
 def set_budget(budget: int | None = None) -> None:
@@ -93,11 +98,12 @@ def _batch_block(n_pad: int) -> int:
     return max(1, _SCORE_BUDGET // per_row)
 
 
-def supports(n: int) -> bool:
-    """True when the backward's per-head recompute working set fits VMEM."""
+def supports(n: int, heads: int = 8) -> bool:
+    """True when the backward's recompute stack fits the scoped-vmem limit
+    (all heads' temporaries stay live — module-constant provenance)."""
     n_pad = _pad_to(n, _LANE)
     per_temp = max(_SCORE_BUDGET, n_pad * n_pad * 4)
-    return 6 * per_temp <= _VMEM_CAP
+    return 5 * heads * per_temp <= _STACK_CAP
 
 
 def _interpret() -> bool:
@@ -345,7 +351,7 @@ def flash_mha_qkv(
     if rate > 0.0 and rng is None:
         raise ValueError("rate > 0 requires an rng")
     on_tpu = jax.default_backend() == "tpu"
-    if (rate > 0.0 and not on_tpu) or not supports(qkv.shape[1]):
+    if (rate > 0.0 and not on_tpu) or not supports(qkv.shape[1], heads):
         # interpreter mode has no on-core PRNG; oversize sequences would
         # overflow the per-cell VMEM working set
         return _xla_reference(qkv, heads, dim_head, rng, rate, scale, num_special)
