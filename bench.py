@@ -246,12 +246,21 @@ def _watchdog() -> None:
     if _emitted[0]:
         return
     if _partial["value"] is not None and _partial["vs_baseline"] is None:
-        _partial["vs_baseline"] = _partial["value"] / RECORDED_NAIVE_FPS
-        _partial["note"] = (
-            "deadline fallback: naive arm did not finish; vs_baseline uses "
-            f"the recorded {RECORDED_NAIVE_FPS} fps naive measurement "
-            "(BASELINE.md), not a same-session A/B"
-        )
+        if (NUM_ENVS, NUM_STEP) == (64, 128):
+            _partial["vs_baseline"] = _partial["value"] / RECORDED_NAIVE_FPS
+            _partial["note"] = (
+                "deadline fallback: naive arm did not finish; vs_baseline "
+                f"uses the recorded {RECORDED_NAIVE_FPS} fps naive "
+                "measurement (BASELINE.md), not a same-session A/B"
+            )
+        else:
+            # the recorded naive fps is a 64x128 flagship measurement; a
+            # cross-scale ratio would be meaningless (review r4)
+            _partial["note"] = (
+                "deadline fallback: naive arm did not finish and the "
+                f"recorded naive baseline is 64x128-only (this run is "
+                f"{NUM_ENVS}x{NUM_STEP}); vs_baseline omitted"
+            )
     elif _partial["value"] is None:
         _partial["error"] = "deadline hit before the optimized arm finished"
     _emit_once()
@@ -427,6 +436,32 @@ def _precompile_naive(agent, cfg: Config, state, collector, states) -> None:
     batch = (cfg.num_step * cfg.num_env_per_process) // cfg.mini_batch
     p, _ = step(state.params, state.opt_state, data, jnp.arange(batch), k)
     jax.block_until_ready(jax.tree_util.tree_leaves(p)[0])
+    # eager-path traces naive_update also pays on first call (review r4):
+    # the reward-filter lax.scan, BOTH make_train_data dtype variants
+    # (bool ext dones vs f32 zero int dones), and the obs-RMS batch reduce.
+    from eavit_tpu.rl import normalizer as norm
+    from eavit_tpu.ops.gae import make_train_data
+    T, N = cfg.num_step, cfg.num_env_per_process
+    ti = jnp.zeros((N, T), r.dtype)
+    nf, per = norm.reward_filter_scan(state.reward_filter, ti, cfg.int_gamma)
+    rr = norm.rms_update_from_moments(
+        state.reward_rms, np.float32(0.0), np.float32(1.0), per.shape[0]
+    )
+    jax.block_until_ready(rr.var)
+    vals = jnp.zeros((N, T + 1), jnp.float32)
+    tgt, adv = make_train_data(
+        jnp.zeros((N, T), jnp.float32), jnp.zeros((N, T), bool), vals,
+        cfg.gamma, cfg.gae_lambda, cfg.use_gae,
+    )
+    tgt2, adv2 = make_train_data(
+        jnp.zeros((N, T), jnp.float32), jnp.zeros((N, T), jnp.float32), vals,
+        cfg.int_gamma, cfg.gae_lambda, cfg.use_gae,
+    )
+    jax.block_until_ready((adv, adv2))
+    obs1 = np.asarray(collector._next_obs_of(states))
+    flat = jnp.zeros((T * N,) + obs1.shape[1:], jnp.float32)
+    orms = norm.rms_update(state.obs_rms, flat)
+    jax.block_until_ready(orms.var)
     print(
         f"# naive: precompiled in {time.time() - t0:.0f}s",
         file=sys.stderr, flush=True,
@@ -620,11 +655,18 @@ def main() -> None:
     if os.environ.get("BENCH_DEVICE_ENV") == "1":
         fps = run_device_env_pipeline(flagship_cfg())
         _partial["value"] = fps
-        _partial["vs_baseline"] = fps / RECORDED_NAIVE_FPS
-        _partial["note"] = (
-            "zero-host device-env pipeline; vs_baseline uses the recorded "
-            f"{RECORDED_NAIVE_FPS} fps naive measurement"
-        )
+        if (NUM_ENVS, NUM_STEP) == (64, 128):
+            _partial["vs_baseline"] = fps / RECORDED_NAIVE_FPS
+            _partial["note"] = (
+                "zero-host device-env pipeline; vs_baseline uses the "
+                f"recorded {RECORDED_NAIVE_FPS} fps naive measurement"
+            )
+        else:
+            _partial["note"] = (
+                "zero-host device-env pipeline; recorded naive baseline is "
+                f"64x128-only (this run is {NUM_ENVS}x{NUM_STEP}); "
+                "vs_baseline omitted"
+            )
         _emit_once()
         return
 

@@ -107,6 +107,25 @@ def _bfs_distances(walls: np.ndarray) -> np.ndarray:
     return dist
 
 
+def goal_room_for_depth(walls: np.ndarray, goal_depth: int) -> int:
+    """Flat room index of the sparse-goal cell for one world's walls.
+
+    goal_depth=0: the BFS-farthest cell from the (0, 0) spawn (round-3
+    semantics — the deepest leaf of the spanning tree). goal_depth>0: the
+    reachable cell whose BFS depth is CLOSEST to the target, ties broken
+    toward the deeper cell (lexicographic argmin of (|d - target|, -d)).
+    Single source of truth shared by make_device_env and the regime
+    calibration script (scripts/sparse_calibrate.py), so the calibration
+    can never desynchronize from the env it measures."""
+    dist = _bfs_distances(walls)
+    if goal_depth > 0:
+        grid = walls.shape[0]
+        d = np.where(dist >= 0, dist, -(10 ** 9))
+        score = np.abs(d - goal_depth) * (2 * grid * grid) - d
+        return int(np.argmin(score))
+    return int(np.argmax(dist))
+
+
 def make_device_env(
     num_envs: int,
     seed: int = 42,
@@ -199,16 +218,9 @@ def make_device_env(
         # the round-4 middle-regime A/B (the round-3 extremes — depth 46
         # single-variant and depth 231 flooded-novelty — bracketed the
         # learnable band without landing in it).
-        goals = []
-        for i in range(n_worlds):
-            dist = _bfs_distances(walls[i])
-            if goal_depth > 0:
-                d = np.where(dist >= 0, dist, -(10 ** 9))
-                # lexicographic argmin of (|d - target|, -d)
-                score = np.abs(d - goal_depth) * (2 * grid * grid) - d
-                goals.append(int(np.argmin(score)))
-            else:
-                goals.append(int(np.argmax(dist)))
+        goals = [
+            goal_room_for_depth(walls[i], goal_depth) for i in range(n_worlds)
+        ]
         goal_rooms = jnp.asarray(goals, jnp.int32)
 
     params = DeviceEnvParams(

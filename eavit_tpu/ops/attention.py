@@ -124,10 +124,13 @@ def _softmax_cast(dots: jnp.ndarray, out_dtype) -> jnp.ndarray:
     error ~2^-8 relative, the same order as the bf16 PV matmul the value
     path already performs.
 
-    Escape hatch (ADVICE r3): set ``EAVIT_SOFTMAX_F32_RESIDUAL=1`` (env, read
-    at import; tests may toggle the module flag) to save the f32
-    probabilities instead — bit-closer gradients for parity debugging, at
-    the reference's HBM cost.
+    Escape hatch (ADVICE r3): set ``EAVIT_SOFTMAX_F32_RESIDUAL=1`` in the
+    environment BEFORE the process starts to save the f32 probabilities
+    instead — bit-closer gradients for parity debugging, at the reference's
+    HBM cost. The flag is read at trace time and is NOT part of any jit
+    cache key: toggling ``F32_RESIDUAL`` mid-process silently keeps reusing
+    already-compiled executables; call ``jax.clear_caches()`` after any
+    in-process toggle (tests do).
     """
     return jax.nn.softmax(dots, axis=-1).astype(out_dtype)
 

@@ -296,8 +296,12 @@ def _train_device_env(cfg: Config, logger: Logger,
         )
         ckpt.maybe_save(
             state, update,
-            {"global_update": update,
-             "device_env_stats": _device_env_stats_meta(env_state)},
+            # lazy: the device_get + packbits bookkeeping only runs on
+            # updates that actually write a checkpoint (review r4)
+            lambda u=update, es=env_state: {
+                "global_update": u,
+                "device_env_stats": _device_env_stats_meta(es),
+            },
             mean_episode_return=metrics.get("data/mean_undiscounted_episode_return"),
         )
         if logger.step_profiler():

@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -106,12 +106,17 @@ class CheckpointManager:
         self,
         state: Any,
         global_update: int,
-        metadata: Dict[str, Any],
+        metadata: "Dict[str, Any] | Callable[[], Dict[str, Any]]",
         mean_rollout_reward: Optional[float] = None,
         mean_episode_return: Optional[float] = None,
         ssl_loss: Optional[float] = None,
     ) -> Dict[str, str]:
-        """Returns {kind: path} for every checkpoint written this call."""
+        """Returns {kind: path} for every checkpoint written this call.
+
+        ``metadata`` may be a zero-arg callable: it is only evaluated when
+        this call actually writes a checkpoint, so callers on hot loops
+        (the zero-host device-env path builds its episode bookkeeping with
+        device_get + packbits) pay nothing on the skipped updates."""
         written: Dict[str, str] = {}
         # update watermarks first so every sidecar written this call carries
         # the post-update values (resume must not re-trigger best saves)
@@ -132,7 +137,10 @@ class CheckpointManager:
             self.best["ssl_loss"] = ssl_loss
             new_best.append("ssl_loss")
 
-        metadata = dict(metadata)
+        will_write = (global_update % self.save_every == 0) or new_best
+        if not will_write:
+            return written
+        metadata = dict(metadata() if callable(metadata) else metadata)
         metadata["best_metrics"] = {
             k: (v if np.isfinite(v) else None) for k, v in self.best.items()
         }

@@ -24,7 +24,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from eavit_tpu.envs.device_env import _bfs_distances, _maze_walls
+from eavit_tpu.envs.device_env import (
+    _bfs_distances,
+    _maze_walls,
+    goal_room_for_depth,
+)
 
 # movement tables match device_env_step: actions 0 noop, 1 up, 2 down,
 # 3 left, 4 right; dir_idx = action-1; walls[y,x,d] blocks
@@ -33,11 +37,12 @@ DX = np.array([0, 0, 0, -1, 1])
 
 
 def build(grid: int, seed: int, goal_depth: int):
+    # world i=0's stream: (seed + i) * 104729 + 7 (make_device_env)
     walls = _maze_walls(grid, np.random.default_rng(seed * 104729 + 7))
     dist = _bfs_distances(walls)
-    d = np.where(dist >= 0, dist, -(10 ** 9))
-    score = np.abs(d - goal_depth) * (2 * grid * grid) - d
-    goal = int(np.argmin(score)) if goal_depth > 0 else int(np.argmax(dist))
+    # placement comes from the env's own helper — the calibration measures
+    # the EXACT goal the env will build, by construction
+    goal = goal_room_for_depth(walls, goal_depth)
     return walls, dist, goal
 
 

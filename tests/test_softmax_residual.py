@@ -84,3 +84,40 @@ def test_mha_grads_still_match_stock_composition():
         np.testing.assert_allclose(
             np.asarray(gn), np.asarray(gr), rtol=1e-5, atol=1e-6
         )
+
+def test_f32_residual_escape_hatch_bitexact_after_cache_clear():
+    """ADVICE r3 escape hatch: with F32_RESIDUAL on, the bf16-output VJP
+    must use the UN-quantized f32 probabilities — matching the stock
+    composition's gradient to f32 rounding (the two VJP formulations are
+    algebraically equal; see test_f32_exact_fwd_and_grad). The flag is
+    trace-time-only, so the in-process toggle requires jax.clear_caches()
+    (ops/attention docstring contract)."""
+    from eavit_tpu.ops import attention
+
+    dots = jax.random.normal(jax.random.PRNGKey(3), (2, 2, 19, 19)) * 3.0
+
+    def loss_new(d):
+        return jnp.sum(_softmax_cast(d, jnp.bfloat16).astype(jnp.float32) ** 2)
+
+    def loss_stock(d):
+        s = jax.nn.softmax(d, axis=-1)
+        return jnp.sum(s.astype(jnp.bfloat16).astype(jnp.float32) ** 2)
+
+    g_bf16res = np.asarray(jax.grad(loss_new)(dots))
+    old = attention.F32_RESIDUAL
+    try:
+        attention.F32_RESIDUAL = True
+        jax.clear_caches()
+        g_f32res = np.asarray(jax.grad(loss_new)(dots))
+    finally:
+        attention.F32_RESIDUAL = old
+        jax.clear_caches()
+    # upstream-of-softmax grads differ: stock saves f32 probs, our default
+    # saves the bf16 cast. With the hatch ON we must match stock to f32
+    # rounding (measured max diff 3.9e-7)...
+    g_stock = np.asarray(jax.grad(loss_stock)(dots))
+    f32_band = 1e-6
+    assert np.abs(g_f32res - g_stock).max() < f32_band
+    # ...and the hatch must move the gradient by MORE than that band vs the
+    # bf16 residual (quantization error ~2^-8 relative >> f32 rounding).
+    assert np.abs(g_f32res - g_bf16res).max() > f32_band
