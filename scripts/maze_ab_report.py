@@ -68,8 +68,46 @@ def main() -> None:
             f"  final discovered {disc[-1]:.0f}"
         )
 
+    # ---- sparse-goal section (round 4): the reference's headline claim is
+    # RND converting sparse extrinsic reward into a policy (Montezuma,
+    # reference train.py:126-130). Metrics of record: mean episode return
+    # (1.0 = every episode reaches the goal), goal hits per rollout vs the
+    # calibrated uniform-policy encounter level, and frames-to-solve.
+    sparse_arms = {
+        k: v for k, v in arms.items() if v and "goal_hits" in v[0]
+    }
+    for name, rows in sparse_arms.items():
+        ret = np.array([r["return"] for r in rows])
+        hits = np.array([r["goal_hits"] for r in rows])
+        w = a.window
+        first_solve = next(
+            (r["update"] for r, m in zip(rows, ret) if m >= 0.9), None
+        )
+        first_half = next(
+            (r["update"] for r, m in zip(rows, ret) if m >= 0.5), None
+        )
+        print(
+            f"\n== sparse {name}: last-{w} return "
+            f"{ret[-w:].mean():.3f} +- {ret[-w:].std():.3f}   "
+            f"goal hits/rollout last-{w} {hits[-w:].mean():.1f}   "
+            f"return>=0.5 @ update {first_half}   "
+            f">=0.9 @ update {first_solve}   "
+            f"return AUC {ret.mean():.3f}"
+        )
+
     rnd = next((v for k, v in arms.items() if k.startswith("rnd")), None)
     ppo = next((v for k, v in arms.items() if k.startswith("ppo")), None)
+    if rnd and ppo and "goal_hits" in rnd[0] and "goal_hits" in ppo[0]:
+        n = min(len(rnd), len(ppo))
+        r_ret = np.array([r["return"] for r in rnd[:n]])
+        p_ret = np.array([r["return"] for r in ppo[:n]])
+        w = min(a.window, n)
+        t = welch_t(r_ret[-w:], p_ret[-w:])
+        print(
+            f"\nSPARSE VERDICT @ matched {n} updates: RND last-{w} return "
+            f"{r_ret[-w:].mean():.3f} vs PPO {p_ret[-w:].mean():.3f} "
+            f"(Welch t = {t:.2f}); AUC {r_ret.mean():.3f} vs {p_ret.mean():.3f}"
+        )
     if rnd and ppo:
         w = a.window
         r_last = np.array([r["rooms_per_episode"] for r in rnd[-w:]])
