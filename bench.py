@@ -311,8 +311,12 @@ def flagship_cfg(**kw) -> Config:
         # attention (ops/flash_dropout) and fused FFN (ops/fused_ffn).
         # Measured on v5e (logs/update_bench_drop.out): fused FFN wins
         # (+2.1% exact, +3.6% shared update throughput) -> default ON;
-        # attention kernel selection via BENCH_ATTN_IMPL.
-        attention_impl=os.environ.get("BENCH_ATTN_IMPL", ""),
+        # attention kernel selection via BENCH_ATTN_IMPL. Default matches
+        # the flagship confs since round 4: the boundary-free fused qkv
+        # flash kernel (verified 24/24 on-chip, logs/kernel_check_qkv2.out;
+        # exact 9.23->6.68 s/update, shared 4.47->3.23). Set
+        # BENCH_ATTN_IMPL=xla to measure the round-3 arm definition.
+        attention_impl=os.environ.get("BENCH_ATTN_IMPL", "pallas_qkv"),
         fused_ffn=os.environ.get("BENCH_FFN", "1") == "1",
     )
     base.update(kw)
