@@ -145,10 +145,21 @@ def load_pretrained_timm(
 
 
 def load_pretrain(params, path: str, *, channels: int, patch_size: int):
-    """File-path entry matching the reference API (torch-format dict)."""
+    """File-path entry matching the reference API (torch-format dict).
+
+    Reference vit.py:170-251 fetches timm "jx" ViT weights; torch-saved
+    checkpoints in the wild are either a flat ``state_dict`` or wrap it
+    under a ``model`` / ``state_dict`` key (timm and lightning
+    conventions) — both forms are accepted here. Covered end-to-end
+    (real ``torch.save`` file -> transplant) in tests/test_pretrained.py.
+    """
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    for wrapper in ("state_dict", "model"):
+        if wrapper in sd and isinstance(sd[wrapper], Mapping):
+            sd = sd[wrapper]
+            break
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
     return load_pretrained_timm(
         params, sd, channels=channels, patch_size=patch_size
