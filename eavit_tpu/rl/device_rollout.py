@@ -12,6 +12,30 @@ host transfers.
 
 Per step on the wire: [N, H, W] uint8 frames + [N] rewards + [N] done flags
 up; [N] actions down. Nothing else, ever.
+
+Single-chip wire protocol (round 4): two measured pathologies of the
+tunneled runtime shape this path (scripts/rollout_probe.py,
+/tmp/step_variants.py findings recorded in BASELINE.md):
+
+1. Each separate host->device array upload costs ~a full round trip even
+   when dispatched asynchronously (3 blocked flag uploads = 83.6 ms vs a
+   29.5 ms RTT floor). Fix: the five per-step arrays (frame, reward, done,
+   reset, t) are PACKED into one contiguous uint8 buffer and unpacked
+   on-device with slices + bitcasts inside the jitted step.
+2. Executable OUTPUT buffers materialize at ~5 GB/s regardless of donation
+   (donate_argnums is not honored: a donated in-place row write into the
+   [T=128,...] 290 MB DeviceBuffers costs ~65 ms/step dispatch-only, vs
+   ~18 ms with T=16 buffers and ~31 ms for a trivial pass-through jit).
+   Fix: ROW MODE — the per-step jit returns only the new frame stack and
+   the per-step rows (~2 MB); the host keeps the returned device handles
+   and stacks them on-device ONCE at rollout end. Rewards/dones never
+   visit the device during the rollout at all (the host already has them
+   from env.step; they upload once with the final stack).
+
+The mesh-sharded path keeps the buffered tuple protocol (a flat packed
+buffer has no clean env-axis PartitionSpec, per-step host chatter is not
+the bottleneck on co-located multi-chip hosts, and buffered in-place row
+writes are the RIGHT shape when donation works).
 """
 
 from __future__ import annotations
@@ -77,7 +101,15 @@ class DeviceRolloutCollector:
                 static_argnames=("first", "last"),
                 donate_argnums=(1,),
             )
+            self._row_step = jax.jit(
+                self._row_step_impl, static_argnames=("first", "last")
+            )
             self._reseed = jax.jit(self._reseed_impl, donate_argnums=(0,))
+            self._paybuf: Optional[np.ndarray] = None
+            self._row_stack: Optional[jnp.ndarray] = None
+            # test hook: force the buffered tuple protocol so equivalence
+            # tests can diff row-mode vs buffered rollouts bit-for-bit
+            self._force_unpacked = False
         else:
             self._build_sharded_step()
 
@@ -253,6 +285,144 @@ class DeviceRolloutCollector:
         return buf, action
 
     # ------------------------------------------------------------------
+    # Row-mode wire protocol (single-chip): one small uint8 upload per step,
+    # layout [N*H*W frame bytes | N reset | 4 t i32 bytes], and only
+    # per-step-row outputs (new stack, action, value/policy rows). The host
+    # buffer is reused across steps — safe because the blocking action
+    # fetch for step t forces the payload transfer of step t to complete
+    # before the host repacks for step t+1.
+    # ------------------------------------------------------------------
+    def _pack(self, frame: np.ndarray, reset: np.ndarray, t: int) -> np.ndarray:
+        N, H, W = frame.shape
+        F = N * H * W
+        if self._paybuf is None or self._paybuf.shape[0] != F + N + 4:
+            self._paybuf = np.empty(F + N + 4, np.uint8)
+        pay = self._paybuf
+        pay[:F] = frame.reshape(-1)
+        pay[F : F + N] = reset
+        pay[F + N :] = np.array([t], "<i4").view(np.uint8)
+        return pay
+
+    def _row_step_impl(
+        self,
+        params: Any,
+        base_key: jax.Array,
+        stack: jnp.ndarray,  # [N, C, H, W] u8
+        payload: jnp.ndarray,  # [N*H*W + N + 4] u8, layout above
+        first: bool,
+        last: bool,
+    ):
+        N, C, H, W = stack.shape
+        F = N * H * W
+        frame = payload[:F].reshape(N, H, W)
+        reset = payload[F : F + N].astype(jnp.bool_)
+        t = jax.lax.bitcast_convert_type(
+            payload[F + N :].reshape(1, 4), jnp.int32
+        )[0]
+        if not first:
+            # fold in step t-1's frame and advance the stack (same math as
+            # the buffered _step_impl)
+            stack = jnp.where(
+                reset[:, None, None, None],
+                jnp.repeat(frame[:, None], C, axis=1),
+                jnp.concatenate([stack[:, 1:], frame[:, None]], axis=1),
+            )
+        next_obs_row = stack[:, -1:] if self._pixel_rnd else stack
+
+        key = jax.random.fold_in(base_key, t)
+        k_sample, k_drop, k_noise = jax.random.split(key, 3)
+        obs = stack.astype(jnp.float32) / 255.0
+        out = self.agent.network.apply(
+            {"params": params["policy"]},
+            obs,
+            False,
+            rngs={"dropout": k_drop, "noise": k_noise},
+        )
+        v_ext, v_int = out.value_ext[:, 0], out.value_int[:, 0]
+        if last:
+            return stack, v_ext, v_int, next_obs_row
+        if self._discrete:
+            action = sample_categorical(k_sample, out.policy)
+            pol = out.policy
+        else:
+            action, logp = sample_normal(k_sample, out.policy, out.std)
+            pol = logp[:, None]
+        return stack, action, pol, v_ext, v_int, next_obs_row
+
+    def _collect_rows(
+        self, params: Any, states_u8: np.ndarray, rng: jax.Array
+    ) -> Tuple[Rollout, np.ndarray]:
+        cfg = self.cfg
+        T = cfg.num_step
+        N, _, H, W = states_u8.shape
+        if self._row_stack is None:
+            self._row_stack = jnp.asarray(states_u8)
+        stack = self._row_stack
+
+        states_rows, action_rows, pol_rows = [], [], []
+        vext_rows, vint_rows, nobs_rows = [], [], []
+        rewards_np = np.empty((T, N), np.float32)
+        dones_np = np.empty((T, N), np.bool_)
+
+        frame = np.zeros((N, H, W), np.uint8)
+        reset = np.zeros(N, np.bool_)
+        for t in range(T):
+            stack, action, pol, v_ext, v_int, nobs = self._row_step(
+                params,
+                rng,
+                stack,
+                jnp.asarray(self._pack(frame, reset, t)),
+                first=(t == 0),
+                last=False,
+            )
+            actions = np.asarray(action)
+            states_rows.append(stack)
+            action_rows.append(action)
+            pol_rows.append(pol)
+            vext_rows.append(v_ext)
+            vint_rows.append(v_int)
+            if t > 0:
+                nobs_rows.append(nobs)  # next_obs of step t-1
+
+            states_u8, rewards, dones, truns, infos = self.env.step(actions)
+            frame = states_u8[:, -1]
+            rewards_np[t] = rewards
+            dones_np[t] = dones
+            reset = dones | truns
+            for info in infos:
+                self.stats.add(info)
+            if self.renderer is not None:
+                self.renderer.render(states_u8[:, -1:])
+
+        # final call: fold last outcome + bootstrap value (train.py:701-704)
+        stack, v_ext, v_int, nobs = self._row_step(
+            params,
+            rng,
+            stack,
+            jnp.asarray(self._pack(frame, reset, T)),
+            first=False,
+            last=True,
+        )
+        vext_rows.append(v_ext)
+        vint_rows.append(v_int)
+        nobs_rows.append(nobs)
+        self._row_stack = stack
+
+        # ONE on-device stack per field at rollout end (the per-step rows
+        # are device handles; nothing re-crosses the wire here)
+        rollout = Rollout(
+            states=jnp.stack(states_rows),
+            actions=jnp.stack(action_rows),
+            rewards=jnp.asarray(rewards_np),
+            dones=jnp.asarray(dones_np),
+            next_obs=jnp.stack(nobs_rows),
+            value_ext=jnp.stack(vext_rows),
+            value_int=jnp.stack(vint_rows),
+            policy=jnp.stack(pol_rows),
+        )
+        return rollout, states_u8
+
+    # ------------------------------------------------------------------
     def collect(
         self, params: Any, states_u8: np.ndarray, rng: jax.Array
     ) -> Tuple[Rollout, np.ndarray]:
@@ -261,6 +431,8 @@ class DeviceRolloutCollector:
         authoritative and stays in lock-step with the host pool."""
         if self._pipelined:
             return self._collect_pipelined(params, states_u8, rng)
+        if self.mesh is None and not self._force_unpacked:
+            return self._collect_rows(params, states_u8, rng)
         cfg = self.cfg
         T = cfg.num_step
         N = states_u8.shape[0]

@@ -115,21 +115,20 @@ def main():
     np.asarray(a)
     print(f"act_only       {timeit(lambda: np.asarray(act_only(state.params, stack_dev, k_act))):8.2f} ms")
 
-    # full _step as the collector drives it (dispatch + action fetch)
-    zero_r = np.zeros(N, np.float32)
+    # full row-mode step as the collector drives it (packed payload upload
+    # + dispatch + action fetch; only per-step rows come back)
     zero_b = np.zeros(N, np.bool_)
 
     def step_full():
-        col._buf, act = col._step(
-            state.params, col._buf,
-            jnp.asarray(frame), jnp.asarray(zero_r), jnp.asarray(zero_b),
-            jnp.asarray(zero_b), jnp.asarray(3, jnp.int32),
+        _stk, act, *_rows = col._row_step(
+            state.params, jax.random.PRNGKey(5), col._row_stack,
+            jnp.asarray(col._pack(frame, zero_b, 3)),
             first=False, last=False,
         )
         np.asarray(act)
 
     step_full()
-    print(f"step_full      {timeit(step_full):8.2f} ms")
+    print(f"step_row       {timeit(step_full):8.2f} ms")
 
     actions = np.zeros(N, np.int64)
     print(f"env_step       {timeit(lambda: env.step(actions)):8.2f} ms")

@@ -169,3 +169,31 @@ def test_pipelined_rollout_feeds_update():
         state, metrics = agent.update(state, rollout, jax.random.PRNGKey(20 + u))
         assert np.isfinite(float(metrics["train/loss"]))
     assert int(state.global_update) == 2
+
+
+def test_row_mode_matches_buffered_protocol():
+    """The row-mode rollout (single packed u8 upload per step, per-step-row
+    outputs, one on-device stack at rollout end) must be bit-identical to
+    the buffered five-array tuple protocol."""
+    cfg = tiny_cfg()
+    rollouts = []
+    for force_unpacked in (False, True):
+        env = SyntheticVectorEnv(
+            cfg.num_env_per_process, seed=11, max_episode_steps=4
+        )
+        agent = RNDAgent(cfg, env.action_space_n)
+        state = agent.init_state(jax.random.PRNGKey(0))
+        collector = DeviceRolloutCollector(cfg, agent, env)
+        collector._force_unpacked = force_unpacked
+        states = env.reset()
+        # two collects: the second exercises _reseed + a reused _paybuf
+        ro, states = collector.collect(state.params, states, jax.random.PRNGKey(1))
+        ro, _ = collector.collect(state.params, states, jax.random.PRNGKey(2))
+        rollouts.append(ro)
+    row_mode, buffered = rollouts
+    for name in row_mode._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(row_mode, name)),
+            np.asarray(getattr(buffered, name)),
+            err_msg=f"field {name} diverged between row-mode and buffered",
+        )
