@@ -197,3 +197,32 @@ def test_row_mode_matches_buffered_protocol():
             np.asarray(getattr(buffered, name)),
             err_msg=f"field {name} diverged between row-mode and buffered",
         )
+
+
+def test_row_mode_matches_buffered_continuous():
+    """Row mode must also be bit-identical for the continuous action path
+    (tanh-mu Normal sampling, log-prob policy rows)."""
+    from eavit_tpu.models.policy import ActionSpaceType
+    from tests.test_continuous import ContinuousSyntheticEnv
+
+    cfg = tiny_cfg()
+    rollouts = []
+    for force_unpacked in (False, True):
+        env = ContinuousSyntheticEnv(cfg.num_env_per_process, seed=5)
+        agent = RNDAgent(
+            cfg, env.action_dim, action_space=ActionSpaceType.CONTINUOUS
+        )
+        state = agent.init_state(jax.random.PRNGKey(0))
+        collector = DeviceRolloutCollector(cfg, agent, env)
+        collector._force_unpacked = force_unpacked
+        states = env.reset()
+        ro, _ = collector.collect(state.params, states, jax.random.PRNGKey(1))
+        rollouts.append(ro)
+    row_mode, buffered = rollouts
+    assert row_mode.actions.dtype == buffered.actions.dtype
+    for name in row_mode._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(row_mode, name)),
+            np.asarray(getattr(buffered, name)),
+            err_msg=f"field {name} diverged (continuous)",
+        )
