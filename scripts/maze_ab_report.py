@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import re
 import json
 import math
 import os
@@ -94,6 +95,46 @@ def main() -> None:
             f">=0.9 @ update {first_solve}   "
             f"return AUC {ret.mean():.3f}"
         )
+
+    # ---- multi-seed solve-point aggregation: the per-seed luck variance
+    # of a uniform policy stumbling into the goal is large (seed 13: PPO
+    # lucked into 17 hits by update 40), so the honest cross-seed statistic
+    # is the per-seed frames-to-sustained-solve distribution, not any one
+    # seed's gap.
+    if len(sparse_arms) > 2:
+        by_arm: dict = {}
+        for name, rows in sparse_arms.items():
+            m = re.match(r"(rnd|ppo).*_seed(\d+)$", name)
+            if not m:
+                continue
+            ret = np.array([r["return"] for r in rows])
+            solved_from = None
+            for r, v in zip(rows, ret):
+                if v >= 0.9:
+                    if solved_from is None:
+                        solved_from = r["update"]
+                else:
+                    solved_from = None
+            by_arm.setdefault(m.group(1), {})[int(m.group(2))] = solved_from
+        if "rnd" in by_arm and "ppo" in by_arm:
+            seeds = sorted(set(by_arm["rnd"]) & set(by_arm["ppo"]))
+            if seeds:
+                print("\n== multi-seed sustained-solve points (update of "
+                      "first return>=0.9 never dropping below) ==")
+                wins = 0
+                for s in seeds:
+                    r, p = by_arm["rnd"][s], by_arm["ppo"][s]
+                    verdict = ("RND" if (r or 10**9) < (p or 10**9)
+                               else "PPO" if (p or 10**9) < (r or 10**9)
+                               else "tie")
+                    wins += verdict == "RND"
+                    print(f"  seed {s:3d}: RND @ {r}  PPO @ {p}  -> {verdict}")
+                rs = [by_arm["rnd"][s] for s in seeds]
+                ps = [by_arm["ppo"][s] for s in seeds]
+                if all(v is not None for v in rs + ps):
+                    print(f"  median: RND {np.median(rs):.0f} vs PPO "
+                          f"{np.median(ps):.0f}; mean {np.mean(rs):.1f} vs "
+                          f"{np.mean(ps):.1f}; RND faster on {wins}/{len(seeds)} seeds")
 
     rnd = next((v for k, v in arms.items() if k.startswith("rnd")), None)
     ppo = next((v for k, v in arms.items() if k.startswith("ppo")), None)
