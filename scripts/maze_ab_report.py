@@ -115,26 +115,75 @@ def main() -> None:
                         solved_from = r["update"]
                 else:
                     solved_from = None
-            by_arm.setdefault(m.group(1), {})[int(m.group(2))] = solved_from
+            # (solve point, this arm's run length) — the length is the
+            # censoring bound when the arm never solved.
+            arm_len = max((r["update"] for r in rows), default=0)
+            by_arm.setdefault(m.group(1), {})[int(m.group(2))] = (
+                solved_from, arm_len)
         if "rnd" in by_arm and "ppo" in by_arm:
             seeds = sorted(set(by_arm["rnd"]) & set(by_arm["ppo"]))
             if seeds:
                 print("\n== multi-seed sustained-solve points (update of "
                       "first return>=0.9 never dropping below) ==")
-                wins = 0
+                wins = losses = 0
                 for s in seeds:
-                    r, p = by_arm["rnd"][s], by_arm["ppo"][s]
+                    (r, _), (p, _) = by_arm["rnd"][s], by_arm["ppo"][s]
                     verdict = ("RND" if (r or 10**9) < (p or 10**9)
                                else "PPO" if (p or 10**9) < (r or 10**9)
                                else "tie")
                     wins += verdict == "RND"
+                    losses += verdict == "PPO"
                     print(f"  seed {s:3d}: RND @ {r}  PPO @ {p}  -> {verdict}")
-                rs = [by_arm["rnd"][s] for s in seeds]
-                ps = [by_arm["ppo"][s] for s in seeds]
-                if all(v is not None for v in rs + ps):
-                    print(f"  median: RND {np.median(rs):.0f} vs PPO "
-                          f"{np.median(ps):.0f}; mean {np.mean(rs):.1f} vs "
-                          f"{np.mean(ps):.1f}; RND faster on {wins}/{len(seeds)} seeds")
+                # Censored (never-solved) arms: cap at that arm's own run
+                # length + 1. Conservative for the winner — the true solve
+                # point is at least that late, so gaps are understated,
+                # never overstated.
+                rs_c = [
+                    v if v is not None else n + 1
+                    for v, n in (by_arm["rnd"][s] for s in seeds)
+                ]
+                ps_c = [
+                    v if v is not None else n + 1
+                    for v, n in (by_arm["ppo"][s] for s in seeds)
+                ]
+                censored = sum(
+                    by_arm[a][s][0] is None
+                    for a in ("rnd", "ppo") for s in seeds
+                )
+                med_note = (
+                    "" if not censored
+                    else f" ({censored} never-solved arm(s) censored at "
+                    "own run length + 1)"
+                )
+                print(f"  median: RND {np.median(rs_c):.0f} vs PPO "
+                      f"{np.median(ps_c):.0f}; mean {np.mean(rs_c):.1f} vs "
+                      f"{np.mean(ps_c):.1f}; RND faster on "
+                      f"{wins}/{len(seeds)} seeds{med_note}")
+                try:
+                    from scipy import stats as _st
+
+                    decided = wins + losses
+                    if decided:
+                        sign_p = _st.binomtest(wins, decided).pvalue
+                        print(f"  sign test (RND faster, two-sided): "
+                              f"p = {sign_p:.4f}")
+                    diffs = [p - r for r, p in zip(rs_c, ps_c) if p != r]
+                    if len(diffs) >= 5:
+                        wil = _st.wilcoxon(diffs, alternative="two-sided")
+                        print(f"  Wilcoxon signed-rank on PPO-RND solve-point "
+                              f"gaps: W = {wil.statistic:.0f}, "
+                              f"p = {wil.pvalue:.4f}"
+                              f" (median gap {np.median(diffs):+.0f} updates)")
+                except ImportError:
+                    pass
+
+    # The single-pair tail below picks the alphabetically-first rnd/ppo
+    # pair, which is misleading whenever several seeds match (round-4
+    # verdict, weak #3) — the aggregation above is the verdict then.
+    if len(sparse_arms) > 2:
+        print("\n(>1 seed matched: per-seed aggregation above is the "
+              "sparse verdict; single-pair tail suppressed)")
+        return
 
     rnd = next((v for k, v in arms.items() if k.startswith("rnd")), None)
     ppo = next((v for k, v in arms.items() if k.startswith("ppo")), None)
