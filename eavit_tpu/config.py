@@ -511,6 +511,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--greedy", action="store_true", default=False,
                    help="eval: argmax/mean actions instead of sampling "
                         "(the reference's eval samples, eval.py:198-299)")
+    p.add_argument("--save_intrinsic_trace", type=str, default=None,
+                   help="eval: pickle the per-step intrinsic-reward trace "
+                        "here (producer for make_animation; reference "
+                        "eval.py:286-290 hardcodes int_rewards.pkl)")
     return p
 
 

@@ -119,6 +119,7 @@ def main(args) -> None:
         cfg,
         num_episodes=cfg.eval_episodes,
         render=cfg.render,
+        save_intrinsic_trace=getattr(args, "save_intrinsic_trace", None),
         greedy=getattr(args, "greedy", False),
     )
     print(out)

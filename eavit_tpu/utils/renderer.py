@@ -62,7 +62,10 @@ def make_animation(
 
     fig, ax = plt.subplots()
     ax.set_xlim(0, len(trace))
-    ax.set_ylim(float(trace.min()), float(trace.max()) or 1.0)
+    lo, hi = float(trace.min()), float(trace.max())
+    if hi <= lo:  # constant trace: avoid a singular y-transform
+        lo, hi = lo - 0.5, lo + 0.5
+    ax.set_ylim(lo, hi)
     (line,) = ax.plot([], [])
     ax.set_xlabel("step")
     ax.set_ylabel("intrinsic reward")
