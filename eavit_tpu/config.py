@@ -138,6 +138,13 @@ class Config:
     action_prob: float = 0.25  # sticky-action probability
     pre_proc_height: int = 84
     pre_proc_width: int = 84
+    # Pre-clip reward scaling (TPU-repo extension). The update clips
+    # extrinsic rewards to [-1, 1] (reference train.py:708); dense-reward
+    # continuous tasks like Pendulum-v1 (per-step reward in [-16.27, 0])
+    # would lose nearly all signal to that clip. The reference solves the
+    # same problem for Mario by dividing its reward by 15 (envs.py:421);
+    # this key generalizes that: reward *= RewardScale before the stack.
+    reward_scale: float = 1.0
 
     # --- PPO / RND --------------------------------------------------------
     epoch: int = 4
@@ -359,6 +366,7 @@ _KEYMAP: Dict[str, Tuple[Tuple[str, ...], Any]] = {
     "StateStackSize": (("state_stack_size",), int),
     "StickyAction": (("sticky_action",), _as_bool),
     "ActionProb": (("action_prob",), float),
+    "RewardScale": (("reward_scale",), float),
     "IntGamma": (("int_gamma",), float),
     "Gamma": (("gamma",), float),
     "ExtCoef": (("ext_coef",), float),

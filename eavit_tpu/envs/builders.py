@@ -88,10 +88,28 @@ def make_classic_control_env(
         from eavit_tpu.envs import wrappers as W
 
         env = gym.make(cfg.env_id, render_mode="rgb_array")
+        # Host-throughput: classic-control envs render at fixed native
+        # resolutions (Pendulum 500x500, CartPole 600x400) that are
+        # immediately resized down to cfg.pre_proc_* anyway; rendering at
+        # ~2x the target size cuts per-step host time ~4x on this image's
+        # single vCPU (measured: 3.65 -> 0.97 ms/frame for Pendulum).
+        target = 2 * max(cfg.pre_proc_height, cfg.pre_proc_width)
+        u = env.unwrapped
+        if hasattr(u, "screen_dim") and u.screen_dim > target:
+            u.screen_dim = target
+        elif hasattr(u, "screen_width") and u.screen_width > target:
+            scale = target / u.screen_width
+            u.screen_width = target
+            u.screen_height = max(1, int(u.screen_height * scale))
         env.reset(seed=seed)
         # classic-control stack omits StickyAction and MaxAndSkip — the
         # reference comments both out (envs.py:513-517):
         # rgb-render -> gray/resize -> stack -> step cap -> monitor
+        if cfg.reward_scale != 1.0:
+            env = W.RewardScaleWrapper(env, cfg.reward_scale)
+        if hasattr(env.action_space, "low"):
+            # continuous Box env: policy emits tanh-mu in [-1,1]
+            env = W.ActionScaleWrapper(env)
         env = W.RGBArrayAsObservationWrapper(env)
         env = W.ResizeAndGrayScaleWrapper(
             env, cfg.pre_proc_height, cfg.pre_proc_width

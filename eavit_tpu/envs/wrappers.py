@@ -270,6 +270,44 @@ class MarioRewardWrapper(gym.Wrapper):
         return obs, float(r) / 15.0, d, t, info
 
 
+class ActionScaleWrapper(gym.ActionWrapper):
+    """Affine-map policy actions from [-1, 1] to the env's Box bounds.
+
+    The continuous policy head emits tanh-mu in [-1, 1] (reference
+    model.py:226-238) and the reference never rescales — it only ever ran
+    discrete envs. For Box envs with other bounds (Pendulum-v1 torque is
+    [-2, 2]) the canonical continuous-control idiom applies: declare the
+    agent-facing action space as [-1, 1]^d and rescale on the way in."""
+
+    def __init__(self, env):
+        super().__init__(env)
+        box = env.action_space
+        self.low = np.asarray(box.low, np.float32)
+        self.high = np.asarray(box.high, np.float32)
+        self.action_space = spaces.Box(-1.0, 1.0, box.shape, np.float32)
+
+    def action(self, action):
+        a = np.clip(np.asarray(action, np.float32), -1.0, 1.0)
+        return self.low + 0.5 * (a + 1.0) * (self.high - self.low)
+
+
+class RewardScaleWrapper(gym.Wrapper):
+    """Multiply the env reward by a constant before the wrapper stack
+    (TPU-repo extension; generalizes the reference's Mario ``reward/15``,
+    envs.py:421). The PPO update clips extrinsic rewards to [-1, 1]
+    (reference train.py:708), so dense-reward tasks whose per-step reward
+    lives outside that range — e.g. Pendulum-v1's [-16.27, 0] — need a
+    pre-clip scale for the signal to survive."""
+
+    def __init__(self, env, scale: float):
+        super().__init__(env)
+        self.scale = float(scale)
+
+    def step(self, action):
+        obs, r, d, t, info = self.env.step(action)
+        return obs, float(r) * self.scale, d, t, info
+
+
 class ActionOffsetWrapper(gym.Wrapper):
     """Shift the discrete action id by +k — used to strip Breakout's NOOP
     (reference train.py:91-92: ``action += 1`` when EnvID starts with

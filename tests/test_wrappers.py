@@ -146,6 +146,63 @@ def test_mario_reward_scaling():
     assert r == 2.0  # 30 / 15 (reference envs.py:421)
 
 
+def test_reward_scale():
+    env = W.RewardScaleWrapper(ScriptedEnv(), scale=0.0625)
+    env.reset()
+    _, r, _, _, _ = env.step(0)
+    assert r == 1 * 0.0625  # pre-clip scaling (see wrappers.py docstring)
+
+
+def test_action_scale_maps_unit_interval_to_box():
+    class BoxEnv(ScriptedEnv):
+        def __init__(self):
+            super().__init__()
+            self.action_space = gym.spaces.Box(-2.0, 2.0, (1,), np.float32)
+
+        def step(self, action):
+            self.actions_seen.append(np.asarray(action, np.float32).copy())
+            self.t += 1
+            return self._frame(), 0.0, False, False, {}
+
+    env = W.ActionScaleWrapper(BoxEnv())
+    assert np.allclose(env.action_space.low, -1.0)
+    assert np.allclose(env.action_space.high, 1.0)
+    env.reset()
+    env.step(np.array([0.5], np.float32))
+    env.step(np.array([-1.0], np.float32))
+    env.step(np.array([3.0], np.float32))  # out-of-range: clipped first
+    seen = env.env.actions_seen
+    assert np.allclose(seen[0], [1.0])  # 0.5 in [-1,1] -> 1.0 in [-2,2]
+    assert np.allclose(seen[1], [-2.0])
+    assert np.allclose(seen[2], [2.0])
+
+
+def test_pendulum_continuous_stack_end_to_end():
+    """Pendulum-v1 through the classic-control builder: Box action space
+    rescaled to [-1,1], RewardScale applied pre-clip, pixel obs stacked."""
+    cfg = Config(
+        env_type=EnvType.CLASSIC_CONTROL,
+        env_id="Pendulum-v1",
+        sticky_action=False,
+        max_step_per_episode=20,
+        num_env_per_process=2,
+        async_env_pool=False,
+        reward_scale=0.0625,
+    )
+    env = make_vector_env(cfg, rank=0)
+    states = env.reset()
+    assert states.shape == (2, 4, 84, 84) and states.dtype == np.uint8
+    assert env.action_space_n is None and env.action_dim == 1
+    rng = np.random.default_rng(0)
+    a = env.sample_random_actions(rng)
+    assert a.shape == (2, 1) and np.all(np.abs(a) <= 1.0)
+    for _ in range(3):
+        states, rewards, dones, truns, infos = env.step(a)
+    # Pendulum reward in [-16.27, 0] scaled by 1/16 -> within the clip range
+    assert np.all(rewards <= 0.0) and np.all(rewards >= -1.02)
+    env.close()
+
+
 def test_classic_control_stack_end_to_end():
     cfg = Config(
         env_type=EnvType.CLASSIC_CONTROL,
