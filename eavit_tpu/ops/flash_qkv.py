@@ -42,11 +42,27 @@ Grid-cell PRNG contract: cell ``i`` seeds ``seed0 + i*heads + h`` before
 head ``h``'s draw; forward and backward share one batch-blocking
 (``_SCORE_BUDGET``), so the masks match bit-exactly across passes.
 
+Round-5 revisions (VERDICT r4 weak #6):
+
+- **Native-dtype MXU operands**: q/k/v (and the backward's dO, sigma, ds)
+  feed the dot-generals in the INPUT dtype with f32 accumulation via
+  ``preferred_element_type`` — bf16 inputs are no longer upcast to f32
+  first, so the MXU runs at its bf16 rate on the flagship config; softmax
+  / lse / dsoftmax math stays f32.
+- **"fori" head-loop impl** (selectable via :func:`set_impl`): the head
+  loop runs as ``lax.fori_loop`` so Mosaic reuses ONE head's score-sized
+  temporaries across all heads (the unrolled loop keeps them live per
+  head — the round-4 measured constraint that pinned the batch block to
+  gb=1). Dynamic lane slicing is unsupported, so head extraction is a
+  dynamic lane ROTATE (``pltpu.roll``) + static slices, and per-head
+  outputs accumulate in small VMEM scratch written back with static lane
+  slices after the loop. Default budget 1 MB -> gb=4 at flagship n_pad.
+
 Fallbacks: non-TPU backends run the kernel in interpreter mode when
-``rate == 0`` (CPU tests cover the masking/overhang math) and the XLA path
-(`ops/attention.mha` semantics, host-PRNG dropout — same distribution,
-different bits) when ``rate > 0``; sequence lengths whose working set
-would overflow VMEM (`supports`) also take the XLA path.
+``rate == 0`` (CPU tests cover the masking/overhang math for BOTH impls)
+and the XLA path (`ops/attention.mha` semantics, host-PRNG dropout — same
+distribution, different bits) when ``rate > 0``; sequence lengths whose
+working set would overflow VMEM (`supports`) also take the XLA path.
 
 Reference hot spot this (together with the shared-patch-stream mode)
 replaces: the double encoder pass vit_hg.py:322-366 / model.py:273-280.
@@ -72,14 +88,26 @@ from eavit_tpu.ops.kernel_prng import (
 _LANE = 128
 # One budget for BOTH passes (backward must re-derive the identical
 # grid-cell -> batch-rows mapping to regenerate the dropout bits).
-# MEASURED CONSTRAINT (v5e, logs/kernel_check_qkv.out round 4): Mosaic does
-# NOT reuse stack allocations across the unrolled in-kernel head loop — the
-# backward's ~5 score-sized f32 temporaries stay live PER HEAD, so the
-# per-cell stack is ~5 * heads * (gb * n_pad^2 * 4) bytes against a 16 MB
-# scoped-vmem limit. gb=4 (budget 1 MB) OOMed at 37.18 MB with 8 heads;
-# 256 KB keeps gb=1 at the flagship n_pad=256: 8 heads * 5 * 256 KB = 10 MB.
-_DEFAULT_SCORE_BUDGET = 256 * 1024
-_SCORE_BUDGET = _DEFAULT_SCORE_BUDGET
+#
+# "unroll" impl — MEASURED CONSTRAINT (v5e, logs/kernel_check_qkv.out round
+# 4): Mosaic does NOT reuse stack allocations across the unrolled in-kernel
+# head loop — the backward's ~5 score-sized f32 temporaries stay live PER
+# HEAD, so the per-cell stack is ~5 * heads * (gb * n_pad^2 * 4) bytes
+# against a 16 MB scoped-vmem limit. gb=4 (budget 1 MB) OOMed at 37.18 MB
+# with 8 heads; 256 KB keeps gb=1 at the flagship n_pad=256.
+#
+# "fori" impl (round 5, VERDICT r4 weak #6): the head loop runs as a
+# lax.fori_loop, so the score temporaries are loop-body-scoped and Mosaic
+# reuses ONE head's worth across all heads; per-head q/k/v extraction uses
+# a dynamic lane rotate (pltpu.roll) + static slices, and per-head outputs
+# accumulate in small VMEM scratch written back with static lane slices
+# after the loop. Per-cell stack ~5 * (gb * n_pad^2 * 4) + the resident
+# qkv/do blocks, so gb scales to 4-8 at the flagship n_pad=256.
+_DEFAULT_BUDGETS = {"unroll": 256 * 1024, "fori": 1024 * 1024}
+# default stays "unroll" until the chip proves "fori" (kernel check 24/24 +
+# update-bench win); flip via set_impl or by editing this constant
+_IMPL = "unroll"
+_SCORE_BUDGET: int | None = None  # None -> impl default
 
 # scoped-vmem stack limit the backward must fit (XLA default, see the
 # compile error text in logs/kernel_check_qkv.out)
@@ -88,22 +116,37 @@ _STACK_CAP = 16 * 1024 * 1024
 
 def set_budget(budget: int | None = None) -> None:
     """Override the per-cell score budget (bytes) for on-chip sweeps;
-    ``None`` restores the tuned default."""
+    ``None`` restores the impl-specific tuned default."""
     global _SCORE_BUDGET
-    _SCORE_BUDGET = _DEFAULT_SCORE_BUDGET if budget is None else budget
+    _SCORE_BUDGET = budget
+
+
+def set_impl(impl: str = "fori") -> None:
+    """Select the in-kernel head-loop strategy: "fori" (loop-scoped temps,
+    larger batch blocks) or "unroll" (the round-4 kernel)."""
+    global _IMPL
+    if impl not in ("fori", "unroll"):
+        raise ValueError(f"unknown flash_qkv impl {impl!r}")
+    _IMPL = impl
+
+
+def _budget() -> int:
+    return _SCORE_BUDGET if _SCORE_BUDGET is not None else _DEFAULT_BUDGETS[_IMPL]
 
 
 def _batch_block(n_pad: int) -> int:
     per_row = n_pad * n_pad * 4  # one batch row's f32 scores for one head
-    return max(1, _SCORE_BUDGET // per_row)
+    return max(1, _budget() // per_row)
 
 
 def supports(n: int, heads: int = 8) -> bool:
     """True when the backward's recompute stack fits the scoped-vmem limit
-    (all heads' temporaries stay live — module-constant provenance)."""
+    (module-constant provenance). The "unroll" impl keeps all heads'
+    temporaries live; "fori" keeps one head's."""
     n_pad = _pad_to(n, _LANE)
-    per_temp = max(_SCORE_BUDGET, n_pad * n_pad * 4)
-    return 5 * heads * per_temp <= _STACK_CAP
+    per_temp = max(_budget(), n_pad * n_pad * 4)
+    live_heads = heads if _IMPL == "unroll" else 1
+    return 5 * live_heads * per_temp <= _STACK_CAP
 
 
 def _interpret() -> bool:
@@ -134,12 +177,32 @@ def _zero_overhang(x, n):
     return jnp.where(row < n, x, 0.0)
 
 
+def _head_fwd(q, k, v, dt, *, scale, n, num_special, thresh, inv_keep):
+    """One head's flash forward from native-dtype q/k/v slices (MXU runs at
+    the input dtype's rate — bf16 operands are NOT upcast; accumulation is
+    f32 via preferred_element_type). Returns (o [gb,Np,D] f32, lse)."""
+    s = _masked_scores(q, k, scale, n, num_special)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    sigma = p / l
+    if thresh is not None:
+        keep = _keep_mask(s.shape, thresh)
+        sigma = jnp.where(keep, sigma * inv_keep, 0.0)
+    o = jax.lax.dot_general(
+        sigma.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return o, (m + jnp.log(l))[:, :, 0]
+
+
 def _fwd_kernel(
     seed_ref, qkv_ref, o_ref, lse_ref,
     *, scale, n, heads, dim_head, num_special, thresh, inv_keep,
 ):
     inner = heads * dim_head
-    qkv = _zero_overhang(qkv_ref[...].astype(jnp.float32), n)
+    qkv = _zero_overhang(qkv_ref[...], n)
+    dt = qkv.dtype
     for h in range(heads):
         if thresh is not None:
             # per-(cell, head) seed; int32 wraparound is deterministic and
@@ -149,21 +212,51 @@ def _fwd_kernel(
         q = jax.lax.slice_in_dim(qkv, lo, lo + dim_head, axis=2)
         k = jax.lax.slice_in_dim(qkv, inner + lo, inner + lo + dim_head, axis=2)
         v = jax.lax.slice_in_dim(qkv, 2 * inner + lo, 2 * inner + lo + dim_head, axis=2)
-
-        s = _masked_scores(q, k, scale, n, num_special)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        sigma = p / l
-        if thresh is not None:
-            keep = _keep_mask(s.shape, thresh)
-            sigma = jnp.where(keep, sigma * inv_keep, 0.0)
-        o = jax.lax.dot_general(
-            sigma, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+        o, lse = _head_fwd(
+            q, k, v, dt, scale=scale, n=n, num_special=num_special,
+            thresh=thresh, inv_keep=inv_keep,
         )
         o_ref[:, :, lo:lo + dim_head] = o.astype(o_ref.dtype)
-        lse_ref[:, h, :] = (m + jnp.log(l))[:, :, 0]
+        lse_ref[:, h, :] = lse
+
+
+def _head_bwd(q, k, v, do, lse, dt, *, scale, n, num_special, thresh, inv_keep):
+    """One head's flash backward from native-dtype slices. Returns
+    (dq, dk, dv) in f32; score math stays f32, MXU operands stay ``dt``."""
+    s = _masked_scores(q, k, scale, n, num_special)
+    sigma = jnp.exp(s - lse)
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    sigma = jnp.where((row < n) & (col < n), sigma, 0.0)
+
+    if thresh is not None:
+        keep = _keep_mask(s.shape, thresh)
+        pd = jnp.where(keep, sigma * inv_keep, 0.0)
+    else:
+        pd = sigma
+    dv = jax.lax.dot_general(  # Pd^T dO
+        pd.astype(dt), do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dpd = jax.lax.dot_general(  # dO V^T
+        do, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if thresh is not None:
+        dsigma = jnp.where(keep, dpd * inv_keep, 0.0)
+    else:
+        dsigma = dpd
+    rowsum = jnp.sum(dsigma * sigma, axis=-1, keepdims=True)
+    ds = (sigma * (dsigma - rowsum) * scale).astype(dt)
+    dq = jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dk = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return dq, dk, dv
 
 
 def _bwd_kernel(
@@ -171,8 +264,9 @@ def _bwd_kernel(
     *, scale, n, heads, dim_head, num_special, thresh, inv_keep,
 ):
     inner = heads * dim_head
-    qkv = _zero_overhang(qkv_ref[...].astype(jnp.float32), n)
-    do_all = _zero_overhang(do_ref[...].astype(jnp.float32), n)
+    qkv = _zero_overhang(qkv_ref[...], n)
+    do_all = _zero_overhang(do_ref[...], n)
+    dt = qkv.dtype
     for h in range(heads):
         if thresh is not None:
             # identical seeding + identical block shape -> identical mask
@@ -183,44 +277,100 @@ def _bwd_kernel(
         v = jax.lax.slice_in_dim(qkv, 2 * inner + lo, 2 * inner + lo + dim_head, axis=2)
         do = jax.lax.slice_in_dim(do_all, lo, lo + dim_head, axis=2)
         lse = lse_ref[:, h, :][:, :, None]
+        dq, dk, dv = _head_bwd(
+            q, k, v, do, lse, dt, scale=scale, n=n,
+            num_special=num_special, thresh=thresh, inv_keep=inv_keep,
+        )
+        ot = dqkv_ref.dtype
+        dqkv_ref[:, :, lo:lo + dim_head] = dq.astype(ot)
+        dqkv_ref[:, :, inner + lo:inner + lo + dim_head] = dk.astype(ot)
+        dqkv_ref[:, :, 2 * inner + lo:2 * inner + lo + dim_head] = dv.astype(ot)
 
-        s = _masked_scores(q, k, scale, n, num_special)
-        sigma = jnp.exp(s - lse)
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        sigma = jnp.where((row < n) & (col < n), sigma, 0.0)
 
+def _rolled_head(x, h, dim_head):
+    """Rotate head ``h``'s lanes to position 0. Mosaic does not support
+    dynamic LANE-dim slicing, but it does support a dynamic lane rotate
+    (tpu.DynamicRotate via pltpu.roll); static slices then read q/k/v."""
+    width = x.shape[-1]
+    return pltpu.roll(x, jax.lax.rem(width - h * dim_head, width), axis=2)
+
+
+def _fwd_kernel_fori(
+    seed_ref, qkv_ref, o_ref, lse_ref, o_scr, lse_scr,
+    *, scale, n, heads, dim_head, num_special, thresh, inv_keep,
+):
+    """Forward with the head loop as lax.fori_loop: score-sized temporaries
+    are loop-body-scoped (reused across heads), so the batch block scales
+    (module doc). Per-head outputs land in VMEM scratch keyed by the
+    (dynamic) head index; the static copy loop below merges them into the
+    lane-sliced output block."""
+    inner = heads * dim_head
+    qkv = _zero_overhang(qkv_ref[...], n)
+    dt = qkv.dtype
+
+    def body(h, carry):
         if thresh is not None:
-            keep = _keep_mask(s.shape, thresh)
-            pd = jnp.where(keep, sigma * inv_keep, 0.0)
-        else:
-            pd = sigma
-        dv = jax.lax.dot_general(  # Pd^T dO
-            pd, do, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * heads + h, seed_ref[1])
+        rolled = _rolled_head(qkv, h, dim_head)
+        q = jax.lax.slice_in_dim(rolled, 0, dim_head, axis=2)
+        k = jax.lax.slice_in_dim(rolled, inner, inner + dim_head, axis=2)
+        v = jax.lax.slice_in_dim(rolled, 2 * inner, 2 * inner + dim_head, axis=2)
+        o, lse = _head_fwd(
+            q, k, v, dt, scale=scale, n=n, num_special=num_special,
+            thresh=thresh, inv_keep=inv_keep,
         )
-        dpd = jax.lax.dot_general(  # dO V^T
-            do, v, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+        o_scr[h] = o.astype(o_ref.dtype)
+        lse_scr[h] = lse
+        return carry
+
+    jax.lax.fori_loop(0, heads, body, 0)
+    for h in range(heads):
+        lo = h * dim_head
+        o_ref[:, :, lo:lo + dim_head] = o_scr[h]
+        lse_ref[:, h, :] = lse_scr[h]
+
+
+def _bwd_kernel_fori(
+    seed_ref, qkv_ref, lse_ref, do_ref, dqkv_ref, dq_scr, dk_scr, dv_scr,
+    *, scale, n, heads, dim_head, num_special, thresh, inv_keep,
+):
+    inner = heads * dim_head
+    qkv = _zero_overhang(qkv_ref[...], n)
+    do_all = _zero_overhang(do_ref[...], n)
+    lse_all = lse_ref[...]  # [gb, heads, Np] f32
+    dt = qkv.dtype
+    ot = dqkv_ref.dtype
+
+    def body(h, carry):
         if thresh is not None:
-            dsigma = jnp.where(keep, dpd * inv_keep, 0.0)
-        else:
-            dsigma = dpd
-        rowsum = jnp.sum(dsigma * sigma, axis=-1, keepdims=True)
-        ds = sigma * (dsigma - rowsum) * scale
-        dq = jax.lax.dot_general(
-            ds, k, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            # identical seeding + identical block shape -> identical mask
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * heads + h, seed_ref[1])
+        rolled = _rolled_head(qkv, h, dim_head)
+        q = jax.lax.slice_in_dim(rolled, 0, dim_head, axis=2)
+        k = jax.lax.slice_in_dim(rolled, inner, inner + dim_head, axis=2)
+        v = jax.lax.slice_in_dim(rolled, 2 * inner, 2 * inner + dim_head, axis=2)
+        do = jax.lax.slice_in_dim(
+            _rolled_head(do_all, h, dim_head), 0, dim_head, axis=2
         )
-        dk = jax.lax.dot_general(
-            ds, q, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+        # [gb,1,Np] -> [gb,Np,1]: same element order, relayout only
+        lse = jax.lax.dynamic_slice_in_dim(lse_all, h, 1, axis=1).reshape(
+            qkv.shape[0], -1, 1
         )
-        dt = dqkv_ref.dtype
-        dqkv_ref[:, :, lo:lo + dim_head] = dq.astype(dt)
-        dqkv_ref[:, :, inner + lo:inner + lo + dim_head] = dk.astype(dt)
-        dqkv_ref[:, :, 2 * inner + lo:2 * inner + lo + dim_head] = dv.astype(dt)
+        dq, dk, dv = _head_bwd(
+            q, k, v, do, lse, dt, scale=scale, n=n,
+            num_special=num_special, thresh=thresh, inv_keep=inv_keep,
+        )
+        dq_scr[h] = dq.astype(ot)
+        dk_scr[h] = dk.astype(ot)
+        dv_scr[h] = dv.astype(ot)
+        return carry
+
+    jax.lax.fori_loop(0, heads, body, 0)
+    for h in range(heads):
+        lo = h * dim_head
+        dqkv_ref[:, :, lo:lo + dim_head] = dq_scr[h]
+        dqkv_ref[:, :, inner + lo:inner + lo + dim_head] = dk_scr[h]
+        dqkv_ref[:, :, 2 * inner + lo:2 * inner + lo + dim_head] = dv_scr[h]
 
 
 def _geom(b: int, n: int):
@@ -234,10 +384,20 @@ def _fwd(qkv, seeds, scale, heads, dim_head, num_special, thresh):
     b, n, three_i = qkv.shape
     inner = three_i // 3
     n_pad, gb, nb = _geom(b, n)
+    fori = _IMPL == "fori"
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, n=n, heads=heads, dim_head=dim_head,
+        _fwd_kernel_fori if fori else _fwd_kernel,
+        scale=scale, n=n, heads=heads, dim_head=dim_head,
         num_special=num_special, thresh=thresh,
         inv_keep=inv_keep_scale(thresh) if thresh is not None else 1.0,
+    )
+    scratch = (
+        [
+            pltpu.VMEM((heads, gb, n_pad, dim_head), qkv.dtype),
+            pltpu.VMEM((heads, gb, n_pad), jnp.float32),
+        ]
+        if fori
+        else []
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -257,6 +417,7 @@ def _fwd(qkv, seeds, scale, heads, dim_head, num_special, thresh):
             jax.ShapeDtypeStruct((nb * gb, n_pad, inner), qkv.dtype),
             jax.ShapeDtypeStruct((nb * gb, heads, n_pad), jnp.float32),
         ],
+        scratch_shapes=scratch,
         interpret=_interpret(),
     )(seeds, qkv)
     return o[:b, :n], lse
@@ -266,12 +427,19 @@ def _bwd(heads, dim_head, scale, num_special, thresh, res, cot):
     qkv, lse, seeds = res
     b, n, three_i = qkv.shape
     n_pad, gb, nb = _geom(b, n)
+    fori = _IMPL == "fori"
     kernel = functools.partial(
-        _bwd_kernel, scale=scale, n=n, heads=heads, dim_head=dim_head,
+        _bwd_kernel_fori if fori else _bwd_kernel,
+        scale=scale, n=n, heads=heads, dim_head=dim_head,
         num_special=num_special, thresh=thresh,
         inv_keep=inv_keep_scale(thresh) if thresh is not None else 1.0,
     )
     inner = three_i // 3
+    scratch = (
+        [pltpu.VMEM((heads, gb, n_pad, dim_head), qkv.dtype)] * 3
+        if fori
+        else []
+    )
     dqkv = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -287,6 +455,7 @@ def _bwd(heads, dim_head, scale, num_special, thresh, res, cot):
         out_specs=pl.BlockSpec((gb, n_pad, three_i), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * gb, n_pad, three_i), qkv.dtype),
+        scratch_shapes=scratch,
         interpret=_interpret(),
     )(seeds, qkv, lse, cot)
     return dqkv[:b, :n], None
@@ -372,15 +541,23 @@ def flash_mha_qkv(
 # ---------------------------------------------------------------------------
 
 
-def _bits_kernel(seed_ref, o_ref, *, heads):
-    # o_ref: [gb, heads, Np, Np]; replay head h's stream with its exact seed
+def _bits_kernel(seed_ref, o_ref, scr, *, heads):
+    # o_ref: [gb, heads, Np, Np]; replay head h's stream with its exact
+    # seed. fori + scratch for the same reason as the main kernels: the
+    # unrolled loop's bits temporaries would stay live per head.
     gb, _, n_pad, _ = o_ref.shape
-    for h in range(heads):
+
+    def body(h, carry):
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * heads + h, seed_ref[1])
         bits = pltpu.prng_random_bits((gb, n_pad, n_pad))
-        o_ref[:, h, :, :] = jax.lax.shift_right_logical(
+        scr[h] = jax.lax.shift_right_logical(
             pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
         ).astype(jnp.int32)
+        return carry
+
+    jax.lax.fori_loop(0, heads, body, 0)
+    for h in range(heads):
+        o_ref[:, h, :, :] = scr[h]
 
 
 def dropout_raw_bits_qkv(
@@ -401,5 +578,6 @@ def dropout_raw_bits_qkv(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nb * gb, heads, n_pad, n_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((heads, gb, n_pad, n_pad), jnp.int32)],
     )(seeds)
     return bits[:b, :, :n, :n]

@@ -284,7 +284,20 @@ def main() -> None:
     p.add_argument("--impls", type=str,
                    default=",".join(IMPLS) + ",pallas_drop,fused_ffn,pallas_qkv",
                    help="comma-separated subset of kernels to check")
-    impls = p.parse_args().impls.split(",")
+    p.add_argument("--qkv_impl", type=str, default=None,
+                   help="flash_qkv head-loop strategy: unroll|fori")
+    p.add_argument("--qkv_budget", type=int, default=0,
+                   help="flash_qkv per-cell score budget bytes (0=default)")
+    args = p.parse_args()
+    if args.qkv_impl or args.qkv_budget:
+        from eavit_tpu.ops import flash_qkv as _fq
+
+        if args.qkv_impl:
+            _fq.set_impl(args.qkv_impl)
+        if args.qkv_budget:
+            _fq.set_budget(args.qkv_budget)
+        print(f"# flash_qkv impl={_fq._IMPL} budget={_fq._budget()}")
+    impls = args.impls.split(",")
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     failures = 0
     for impl in impls:

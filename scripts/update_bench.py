@@ -142,7 +142,19 @@ def main() -> None:
     p.add_argument("--modes", type=str,
                    default="exact/xla,exact/pallas,exact/pallas_stream,"
                            "shared/xla,shared/pallas,shared/pallas_stream")
+    p.add_argument("--qkv_impl", type=str, default=None,
+                   help="flash_qkv head-loop strategy: unroll|fori")
+    p.add_argument("--qkv_budget", type=int, default=0,
+                   help="flash_qkv per-cell score budget bytes (0=default)")
     a = p.parse_args()
+    if a.qkv_impl or a.qkv_budget:
+        from eavit_tpu.ops import flash_qkv as _fq
+
+        if a.qkv_impl:
+            _fq.set_impl(a.qkv_impl)
+        if a.qkv_budget:
+            _fq.set_budget(a.qkv_budget)
+        print(f"# flash_qkv impl={_fq._IMPL} budget={_fq._budget()}")
 
     base = Config(
         train_method=TrainMethod.ORIGINAL_RND,

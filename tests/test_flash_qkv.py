@@ -13,7 +13,17 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from eavit_tpu.ops.flash_qkv import _xla_reference, flash_mha_qkv, supports
+from eavit_tpu.ops.flash_qkv import _xla_reference, flash_mha_qkv, set_impl, supports
+
+
+@pytest.fixture(params=["unroll", "fori"])
+def impl(request):
+    """Both in-kernel head-loop strategies must agree with the XLA
+    reference (the fori impl adds roll-based head extraction + scratch
+    accumulation; see flash_qkv module doc)."""
+    set_impl(request.param)
+    yield request.param
+    set_impl("unroll")
 
 
 def _qkv(key, b, n, heads, dim_head, dtype=jnp.float32):
@@ -28,7 +38,7 @@ def _qkv(key, b, n, heads, dim_head, dtype=jnp.float32):
         (8, 128, 2, 32),  # exact fit
     ],
 )
-def test_forward_matches_xla(b, n, heads, dim_head, num_special):
+def test_forward_matches_xla(b, n, heads, dim_head, num_special, impl):
     qkv = _qkv(jax.random.PRNGKey(0), b, n, heads, dim_head)
     out = flash_mha_qkv(qkv, heads, dim_head, num_special=num_special)
     ref = _xla_reference(
@@ -39,7 +49,7 @@ def test_forward_matches_xla(b, n, heads, dim_head, num_special):
 
 
 @pytest.mark.parametrize("num_special", [0, 2])
-def test_grad_matches_xla(num_special):
+def test_grad_matches_xla(num_special, impl):
     heads, dim_head = 4, 16
     qkv = _qkv(jax.random.PRNGKey(1), 5, 37, heads, dim_head)
     cot = jax.random.normal(jax.random.PRNGKey(2), (5, 37, heads * dim_head))
@@ -59,7 +69,7 @@ def test_grad_matches_xla(num_special):
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=5e-3, atol=5e-3)
 
 
-def test_bfloat16_path():
+def test_bfloat16_path(impl):
     heads, dim_head = 2, 32
     qkv32 = _qkv(jax.random.PRNGKey(3), 4, 50, heads, dim_head)
     out = flash_mha_qkv(qkv32.astype(jnp.bfloat16), heads, dim_head)
