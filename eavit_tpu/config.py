@@ -158,6 +158,14 @@ class Config:
     # at the cost of an OPTIMIZATION-SCHEDULE change (fewer, larger steps),
     # so it is a documented divergence knob, not the parity default.
     minibatch_merge: int = 1
+    # Encoder rematerialization in the update's backward (TPU-native knob,
+    # SURVEY §2.4 obligation (b) / VERDICT r4 next-round #3): "none" saves
+    # every sublayer activation; "full" (nothing_saveable) recomputes each
+    # attn/FFN sublayer from its input in the backward; "dots" saves matmul
+    # outputs and recomputes elementwise ops (jax dots_saveable policy).
+    # Trades HBM bytes/update for recompute FLOPs — measured accept/reject
+    # lives in BASELINE.md.
+    encoder_remat: str = "none"
     learning_rate: float = 1e-4
     ppo_eps: float = 0.1
     entropy_coef: float = 0.001
@@ -367,6 +375,7 @@ _KEYMAP: Dict[str, Tuple[Tuple[str, ...], Any]] = {
     "StickyAction": (("sticky_action",), _as_bool),
     "ActionProb": (("action_prob",), float),
     "RewardScale": (("reward_scale",), float),
+    "EncoderRemat": (("encoder_remat",), str),
     "IntGamma": (("int_gamma",), float),
     "Gamma": (("gamma",), float),
     "ExtCoef": (("ext_coef",), float),

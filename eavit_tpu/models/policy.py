@@ -67,6 +67,7 @@ def build_backbone(cfg: Config, *, attention_impl: Optional[str] = None) -> nn.M
             ffn_impl=ffn_impl,
             shared_patch_stream=cfg.shared_patch_stream,
             dtype=dtype,
+            remat=cfg.encoder_remat,
             name="feature",
         )
     return DualTokenViTHG(
@@ -77,6 +78,7 @@ def build_backbone(cfg: Config, *, attention_impl: Optional[str] = None) -> nn.M
         ffn_impl=ffn_impl,
         shared_patch_stream=cfg.shared_patch_stream,
         dtype=dtype,
+        remat=cfg.encoder_remat,
         name="feature",
     )
 

@@ -264,11 +264,27 @@ class Transformer(nn.Module):
     ffn_impl: str = "xla"
     num_special: int = 0  # dual-query shared-KV mask (ops/attention.py)
     dtype: Any = None
+    # "none" | "full" | "dots": rematerialize sublayers in the backward
+    # (config.py encoder_remat). nn.remat preserves module names, so the
+    # parameter tree (and every shipped checkpoint) is unchanged.
+    remat: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.remat == "none":
+            Attn, FF = MultiHeadAttention, FeedForward
+        else:
+            policy = (
+                None  # nothing saveable: recompute the whole sublayer
+                if self.remat == "full"
+                else jax.checkpoint_policies.dots_saveable
+            )
+            Attn = nn.remat(
+                MultiHeadAttention, policy=policy, static_argnums=(2,)
+            )
+            FF = nn.remat(FeedForward, policy=policy, static_argnums=(2,))
         for i in range(self.depth):
-            x = x + MultiHeadAttention(
+            x = x + Attn(
                 dim=self.dim,
                 heads=self.heads,
                 dim_head=self.dim_head,
@@ -280,7 +296,7 @@ class Transformer(nn.Module):
                 dtype=self.dtype,
                 name=f"attn_{i}",
             )(x, deterministic)
-            x = x + FeedForward(
+            x = x + FF(
                 dim=self.dim,
                 hidden_dim=self.mlp_dim,
                 dropout=self.dropout,
@@ -313,6 +329,7 @@ class DualTokenViT(nn.Module):
     ffn_impl: str = "xla"
     shared_patch_stream: bool = False
     dtype: Any = None
+    remat: str = "none"  # encoder sublayer remat (config.py encoder_remat)
 
     @nn.compact
     def __call__(
@@ -366,6 +383,7 @@ class DualTokenViT(nn.Module):
             ffn_impl=self.ffn_impl,
             num_special=2 if fused else 0,
             dtype=self.dtype,
+            remat=self.remat,
             name="transformer",
         )
         emb_drop = Dropout16(c.emb_dropout)
@@ -427,6 +445,7 @@ class DualTokenViTHG(nn.Module):
     ffn_impl: str = "xla"
     shared_patch_stream: bool = False
     dtype: Any = None
+    remat: str = "none"  # encoder sublayer remat (config.py encoder_remat)
 
     @nn.compact
     def __call__(
@@ -473,6 +492,7 @@ class DualTokenViTHG(nn.Module):
             ffn_impl=self.ffn_impl,
             num_special=2 if fused else 0,
             dtype=self.dtype,
+            remat=self.remat,
             name="encoder",
         )
         emb_drop = Dropout16(c.hidden_dropout_prob)

@@ -142,6 +142,8 @@ def main() -> None:
     p.add_argument("--modes", type=str,
                    default="exact/xla,exact/pallas,exact/pallas_stream,"
                            "shared/xla,shared/pallas,shared/pallas_stream")
+    p.add_argument("--remat", type=str, default="none",
+                   help="encoder_remat: none|full|dots (config.py)")
     p.add_argument("--qkv_impl", type=str, default=None,
                    help="flash_qkv head-loop strategy: unroll|fori")
     p.add_argument("--qkv_budget", type=int, default=0,
@@ -164,6 +166,7 @@ def main() -> None:
         mini_batch=32,
         minibatch_merge=a.merge,
         max_step_per_episode=4500,
+        encoder_remat=a.remat,
     )
     if a.dim:
         from eavit_tpu.config import ViTConfig
