@@ -115,36 +115,60 @@ def main() -> None:
                         solved_from = r["update"]
                 else:
                     solved_from = None
-            # (solve point, this arm's run length) — the length is the
-            # censoring bound when the arm never solved.
+            # (solve point, this arm's run length, per-update goal hits) —
+            # the length is the censoring bound when the arm never solved;
+            # the hits vector feeds the pre-solve harvest statistic.
             arm_len = max((r["update"] for r in rows), default=0)
+            hits_by_upd = {r["update"]: r["goal_hits"] for r in rows}
             by_arm.setdefault(m.group(1), {})[int(m.group(2))] = (
-                solved_from, arm_len)
+                solved_from, arm_len, hits_by_upd)
         if "rnd" in by_arm and "ppo" in by_arm:
             seeds = sorted(set(by_arm["rnd"]) & set(by_arm["ppo"]))
             if seeds:
                 print("\n== multi-seed sustained-solve points (update of "
                       "first return>=0.9 never dropping below) ==")
                 wins = losses = 0
+                harvest = []  # (seed, mark, rnd cum hits, ppo cum hits)
                 for s in seeds:
-                    (r, _), (p, _) = by_arm["rnd"][s], by_arm["ppo"][s]
+                    (r, _, rh), (p, _, ph) = by_arm["rnd"][s], by_arm["ppo"][s]
                     verdict = ("RND" if (r or 10**9) < (p or 10**9)
                                else "PPO" if (p or 10**9) < (r or 10**9)
                                else "tie")
                     wins += verdict == "RND"
                     losses += verdict == "PPO"
-                    print(f"  seed {s:3d}: RND @ {r}  PPO @ {p}  -> {verdict}")
+                    # mechanism statistic: cumulative goal hits strictly
+                    # BEFORE the first arm's sustained solve (the window
+                    # where novelty pressure must do the work — round-4
+                    # narrative, now per seed). Never-solved pairs use the
+                    # shorter run as the mark.
+                    mark = min(
+                        x for x in (
+                            r, p, min(max(rh, default=0), max(ph, default=0))
+                        ) if x
+                    )
+                    rc = sum(v for u, v in rh.items() if u < mark)
+                    pc = sum(v for u, v in ph.items() if u < mark)
+                    harvest.append((s, mark, rc, pc))
+                    print(f"  seed {s:3d}: RND @ {r}  PPO @ {p}  -> {verdict}"
+                          f"   [pre-solve cum hits by upd {mark}: "
+                          f"RND {rc:.0f} vs PPO {pc:.0f}]")
+                n_harv = sum(rc > pc for _, _, rc, pc in harvest)
+                ratios = [(rc + 1.0) / (pc + 1.0) for _, _, rc, pc in harvest]
+                print(f"  pre-solve harvest: RND ahead on "
+                      f"{n_harv}/{len(harvest)} seeds; median "
+                      f"(RND+1)/(PPO+1) hit ratio "
+                      f"{float(np.median(ratios)):.1f}x")
                 # Censored (never-solved) arms: cap at that arm's own run
                 # length + 1. Conservative for the winner — the true solve
                 # point is at least that late, so gaps are understated,
                 # never overstated.
                 rs_c = [
                     v if v is not None else n + 1
-                    for v, n in (by_arm["rnd"][s] for s in seeds)
+                    for v, n, _ in (by_arm["rnd"][s] for s in seeds)
                 ]
                 ps_c = [
                     v if v is not None else n + 1
-                    for v, n in (by_arm["ppo"][s] for s in seeds)
+                    for v, n, _ in (by_arm["ppo"][s] for s in seeds)
                 ]
                 censored = sum(
                     by_arm[a][s][0] is None
