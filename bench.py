@@ -248,10 +248,11 @@ def _watchdog() -> None:
     if _partial["value"] is not None and _partial["vs_baseline"] is None:
         if (NUM_ENVS, NUM_STEP) == (64, 128):
             _partial["vs_baseline"] = _partial["value"] / RECORDED_NAIVE_FPS
+            prior = f" [{_partial['note']}]" if _partial["note"] else ""
             _partial["note"] = (
                 "deadline fallback: naive arm did not finish; vs_baseline "
                 f"uses the recorded {RECORDED_NAIVE_FPS} fps naive "
-                "measurement (BASELINE.md), not a same-session A/B"
+                "measurement (BASELINE.md), not a same-session A/B" + prior
             )
         else:
             # the recorded naive fps is a 64x128 flagship measurement; a
@@ -713,6 +714,18 @@ def main() -> None:
     # compiles never eat timed-rep budget (VERDICT r4 weak #4)
     opt_arm = PreparedArm(flagship_cfg(), naive=False)
     opt_arm.precompile()
+    # Provisional result BEFORE the naive prepare: one timed optimized rep,
+    # so a deadline hit during the naive arm's (long) compile degrades to a
+    # parseable value + recorded-baseline fallback instead of a null (the
+    # failure mode the shortened r5 preview exposed: prepare-phase deadline
+    # -> "deadline hit before the optimized arm finished").
+    t0 = time.perf_counter()
+    opt_arm.rng, _k = jax.random.split(opt_arm.rng)
+    opt_arm.one_update(_k)
+    _partial["value"] = (
+        opt_arm.cfg.num_step * opt_arm.cfg.num_env_per_process
+    ) / (time.perf_counter() - t0)
+    _partial["note"] = "provisional single-rep optimized timing"
     naive_arm = None
     if live_naive:
         naive_cfg = flagship_cfg(
@@ -729,6 +742,7 @@ def main() -> None:
     opt_deadline = now + (0.4 * remaining if live_naive else remaining)
     fps_opt = opt_arm.time_reps(UPDATES, opt_deadline)
     _partial["value"] = fps_opt
+    _partial["note"] = None  # real median supersedes the provisional rep
     print(f"# optimized: {fps_opt:.1f} frames/s", file=sys.stderr, flush=True)
 
     if not live_naive:

@@ -1,6 +1,7 @@
-# round-5 batch B: 3 more paired seeds for the hard sparse-regime A/B
-# (after batch A the aggregate is RND 6/9 with Wilcoxon p=0.047; more
-# pairs tighten both tests). Same regime as rounds 3-5.
+# round-5 batch B: 3 more paired seeds for the hard sparse-regime A/B.
+# At 10 seeds the aggregate is RND 6/10 (3 reversals, 1 no-solve) with
+# Wilcoxon p=0.070 on the paired solve gaps (BASELINE.md) — more pairs
+# tighten both tests whichever way they land. Same regime as rounds 3-5.
 cd /root/repo
 for SEED in 31 37 41; do
 timeout 2400 python scripts/maze_ab.py --arm rnd --updates 250 --seed $SEED \
