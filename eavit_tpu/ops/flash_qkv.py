@@ -57,9 +57,17 @@ Round-5 revisions (VERDICT r4 weak #6):
   dynamic lane ROTATE (``pltpu.roll``) + static slices, and per-head
   outputs accumulate in small VMEM scratch written back with static lane
   slices after the loop. Default budget 1 MB -> gb=4 at flagship n_pad.
+- **"split" head-loop impl**: same loop-scoped-temporaries idea as
+  "fori" but WITHOUT the dynamic lane rotate whose Mosaic lowering made
+  the fori compile blow past 7 min at the flagship shape
+  (results/fori_smoke_r5.out). A static unrolled loop pre-splits every
+  head's q/k/v (and dO/lse in the backward) into head-keyed VMEM scratch
+  with static lane slices; the fori compute loop then indexes scratch on
+  the LEADING dim only (supported, cheap) and keeps one head's score
+  temporaries loop-scoped. Same gb scaling as "fori".
 
 Fallbacks: non-TPU backends run the kernel in interpreter mode when
-``rate == 0`` (CPU tests cover the masking/overhang math for BOTH impls)
+``rate == 0`` (CPU tests cover the masking/overhang math for ALL impls)
 and the XLA path (`ops/attention.mha` semantics, host-PRNG dropout — same
 distribution, different bits) when ``rate > 0``; sequence lengths whose
 working set would overflow VMEM (`supports`) also take the XLA path.
@@ -103,9 +111,20 @@ _LANE = 128
 # accumulate in small VMEM scratch written back with static lane slices
 # after the loop. Per-cell stack ~5 * (gb * n_pad^2 * 4) + the resident
 # qkv/do blocks, so gb scales to 4-8 at the flagship n_pad=256.
-_DEFAULT_BUDGETS = {"unroll": 256 * 1024, "fori": 1024 * 1024}
-# default stays "unroll" until the chip proves "fori" (kernel check 24/24 +
-# update-bench win); flip via set_impl or by editing this constant
+# "split" impl (round 5b): the fori impl's Mosaic compile blew past 7 min
+# at the flagship shape (results/fori_smoke_r5.out) — the suspected cost is
+# the per-iteration dynamic lane ROTATE (tpu.DynamicRotate on 768-lane
+# blocks). "split" removes roll entirely: a STATIC unrolled loop first
+# copies every head's q/k/v (and dO / lse in the backward) into VMEM
+# scratch keyed by head — [heads, gb, n_pad, D] buffers, static lane
+# slices, no score-sized temporaries — then a lax.fori_loop over heads
+# reads scratch with dynamic LEADING-dim indexing (the cheap, supported
+# kind) and keeps one head's score temporaries loop-scoped, exactly like
+# "fori". Same gb scaling, no DynamicRotate in the lowering.
+_DEFAULT_BUDGETS = {"unroll": 256 * 1024, "fori": 1024 * 1024,
+                    "split": 1024 * 1024}
+# default stays "unroll" until the chip proves a loop impl (kernel check
+# 24/24 + update-bench win); flip via set_impl or by editing this constant
 _IMPL = "unroll"
 _SCORE_BUDGET: int | None = None  # None -> impl default
 
@@ -121,11 +140,13 @@ def set_budget(budget: int | None = None) -> None:
     _SCORE_BUDGET = budget
 
 
-def set_impl(impl: str = "fori") -> None:
-    """Select the in-kernel head-loop strategy: "fori" (loop-scoped temps,
-    larger batch blocks) or "unroll" (the round-4 kernel)."""
+def set_impl(impl: str = "split") -> None:
+    """Select the in-kernel head-loop strategy: "unroll" (the round-4
+    kernel), "fori" (loop-scoped temps via roll-based head extraction), or
+    "split" (loop-scoped temps via static pre-split into head-keyed VMEM
+    scratch — no DynamicRotate; see the module constants)."""
     global _IMPL
-    if impl not in ("fori", "unroll"):
+    if impl not in ("fori", "unroll", "split"):
         raise ValueError(f"unknown flash_qkv impl {impl!r}")
     _IMPL = impl
 
@@ -373,6 +394,89 @@ def _bwd_kernel_fori(
         dqkv_ref[:, :, 2 * inner + lo:2 * inner + lo + dim_head] = dv_scr[h]
 
 
+def _fwd_kernel_split(
+    seed_ref, qkv_ref, o_ref, lse_ref, q_scr, k_scr, v_scr, o_scr, lse_scr,
+    *, scale, n, heads, dim_head, num_special, thresh, inv_keep,
+):
+    """Forward with a static head pre-split + fori compute loop: the
+    unrolled copy loops touch only [gb, Np, D] blocks (no score-sized
+    temporaries live per head), and the fori body's score temporaries are
+    loop-scoped so Mosaic reuses one head's worth (module constants)."""
+    inner = heads * dim_head
+    qkv = _zero_overhang(qkv_ref[...], n)
+    dt = qkv.dtype
+    for h in range(heads):  # static lane slices -> head-keyed scratch
+        lo = h * dim_head
+        q_scr[h] = jax.lax.slice_in_dim(qkv, lo, lo + dim_head, axis=2)
+        k_scr[h] = jax.lax.slice_in_dim(
+            qkv, inner + lo, inner + lo + dim_head, axis=2
+        )
+        v_scr[h] = jax.lax.slice_in_dim(
+            qkv, 2 * inner + lo, 2 * inner + lo + dim_head, axis=2
+        )
+
+    def body(h, carry):
+        if thresh is not None:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * heads + h, seed_ref[1])
+        o, lse = _head_fwd(
+            q_scr[h], k_scr[h], v_scr[h], dt, scale=scale, n=n,
+            num_special=num_special, thresh=thresh, inv_keep=inv_keep,
+        )
+        o_scr[h] = o.astype(o_ref.dtype)
+        lse_scr[h] = lse
+        return carry
+
+    jax.lax.fori_loop(0, heads, body, 0)
+    for h in range(heads):  # static merge back to lane-sliced outputs
+        lo = h * dim_head
+        o_ref[:, :, lo:lo + dim_head] = o_scr[h]
+        lse_ref[:, h, :] = lse_scr[h]
+
+
+def _bwd_kernel_split(
+    seed_ref, qkv_ref, lse_ref, do_ref, dqkv_ref,
+    q_scr, k_scr, v_scr, do_scr, lse_scr, dq_scr, dk_scr, dv_scr,
+    *, scale, n, heads, dim_head, num_special, thresh, inv_keep,
+):
+    inner = heads * dim_head
+    qkv = _zero_overhang(qkv_ref[...], n)
+    do_all = _zero_overhang(do_ref[...], n)
+    dt = qkv.dtype
+    ot = dqkv_ref.dtype
+    for h in range(heads):  # static lane slices -> head-keyed scratch
+        lo = h * dim_head
+        q_scr[h] = jax.lax.slice_in_dim(qkv, lo, lo + dim_head, axis=2)
+        k_scr[h] = jax.lax.slice_in_dim(
+            qkv, inner + lo, inner + lo + dim_head, axis=2
+        )
+        v_scr[h] = jax.lax.slice_in_dim(
+            qkv, 2 * inner + lo, 2 * inner + lo + dim_head, axis=2
+        )
+        do_scr[h] = jax.lax.slice_in_dim(do_all, lo, lo + dim_head, axis=2)
+        lse_scr[h] = lse_ref[:, h, :]
+
+    def body(h, carry):
+        if thresh is not None:
+            # identical seeding + identical block shape -> identical mask
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * heads + h, seed_ref[1])
+        lse = lse_scr[h][:, :, None]  # [gb, Np] -> [gb, Np, 1]
+        dq, dk, dv = _head_bwd(
+            q_scr[h], k_scr[h], v_scr[h], do_scr[h], lse, dt, scale=scale,
+            n=n, num_special=num_special, thresh=thresh, inv_keep=inv_keep,
+        )
+        dq_scr[h] = dq.astype(ot)
+        dk_scr[h] = dk.astype(ot)
+        dv_scr[h] = dv.astype(ot)
+        return carry
+
+    jax.lax.fori_loop(0, heads, body, 0)
+    for h in range(heads):  # static merge: dq/dk/dv -> one d_qkv block
+        lo = h * dim_head
+        dqkv_ref[:, :, lo:lo + dim_head] = dq_scr[h]
+        dqkv_ref[:, :, inner + lo:inner + lo + dim_head] = dk_scr[h]
+        dqkv_ref[:, :, 2 * inner + lo:2 * inner + lo + dim_head] = dv_scr[h]
+
+
 def _geom(b: int, n: int):
     n_pad = _pad_to(n, _LANE)
     gb = _batch_block(n_pad)
@@ -384,21 +488,23 @@ def _fwd(qkv, seeds, scale, heads, dim_head, num_special, thresh):
     b, n, three_i = qkv.shape
     inner = three_i // 3
     n_pad, gb, nb = _geom(b, n)
-    fori = _IMPL == "fori"
+    fwd_kernels = {
+        "unroll": _fwd_kernel, "fori": _fwd_kernel_fori,
+        "split": _fwd_kernel_split,
+    }
     kernel = functools.partial(
-        _fwd_kernel_fori if fori else _fwd_kernel,
+        fwd_kernels[_IMPL],
         scale=scale, n=n, heads=heads, dim_head=dim_head,
         num_special=num_special, thresh=thresh,
         inv_keep=inv_keep_scale(thresh) if thresh is not None else 1.0,
     )
-    scratch = (
-        [
-            pltpu.VMEM((heads, gb, n_pad, dim_head), qkv.dtype),
-            pltpu.VMEM((heads, gb, n_pad), jnp.float32),
-        ]
-        if fori
-        else []
-    )
+    head_block = pltpu.VMEM((heads, gb, n_pad, dim_head), qkv.dtype)
+    lse_block = pltpu.VMEM((heads, gb, n_pad), jnp.float32)
+    scratch = {
+        "unroll": [],
+        "fori": [head_block, lse_block],  # o_scr, lse_scr
+        "split": [head_block] * 3 + [head_block, lse_block],  # q/k/v + o/lse
+    }[_IMPL]
     o, lse = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -427,19 +533,26 @@ def _bwd(heads, dim_head, scale, num_special, thresh, res, cot):
     qkv, lse, seeds = res
     b, n, three_i = qkv.shape
     n_pad, gb, nb = _geom(b, n)
-    fori = _IMPL == "fori"
+    bwd_kernels = {
+        "unroll": _bwd_kernel, "fori": _bwd_kernel_fori,
+        "split": _bwd_kernel_split,
+    }
     kernel = functools.partial(
-        _bwd_kernel_fori if fori else _bwd_kernel,
+        bwd_kernels[_IMPL],
         scale=scale, n=n, heads=heads, dim_head=dim_head,
         num_special=num_special, thresh=thresh,
         inv_keep=inv_keep_scale(thresh) if thresh is not None else 1.0,
     )
     inner = three_i // 3
-    scratch = (
-        [pltpu.VMEM((heads, gb, n_pad, dim_head), qkv.dtype)] * 3
-        if fori
-        else []
-    )
+    head_block = pltpu.VMEM((heads, gb, n_pad, dim_head), qkv.dtype)
+    scratch = {
+        "unroll": [],
+        "fori": [head_block] * 3,  # dq/dk/dv
+        # q/k/v/do + lse + dq/dk/dv
+        "split": [head_block] * 4
+        + [pltpu.VMEM((heads, gb, n_pad), jnp.float32)]
+        + [head_block] * 3,
+    }[_IMPL]
     dqkv = pl.pallas_call(
         kernel,
         grid=(nb,),

@@ -16,11 +16,12 @@ import pytest
 from eavit_tpu.ops.flash_qkv import _xla_reference, flash_mha_qkv, set_impl, supports
 
 
-@pytest.fixture(params=["unroll", "fori"])
+@pytest.fixture(params=["unroll", "fori", "split"])
 def impl(request):
-    """Both in-kernel head-loop strategies must agree with the XLA
-    reference (the fori impl adds roll-based head extraction + scratch
-    accumulation; see flash_qkv module doc)."""
+    """Every in-kernel head-loop strategy must agree with the XLA
+    reference (fori adds roll-based head extraction + scratch
+    accumulation; split adds the static head pre-split into head-keyed
+    scratch; see flash_qkv module doc)."""
     set_impl(request.param)
     yield request.param
     set_impl("unroll")
