@@ -285,7 +285,7 @@ def main() -> None:
                    default=",".join(IMPLS) + ",pallas_drop,fused_ffn,pallas_qkv",
                    help="comma-separated subset of kernels to check")
     p.add_argument("--qkv_impl", type=str, default=None,
-                   help="flash_qkv head-loop strategy: unroll|fori")
+                   help="flash_qkv head-loop strategy: unroll|fori|split")
     p.add_argument("--qkv_budget", type=int, default=0,
                    help="flash_qkv per-cell score budget bytes (0=default)")
     args = p.parse_args()

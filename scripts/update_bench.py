@@ -145,7 +145,7 @@ def main() -> None:
     p.add_argument("--remat", type=str, default="none",
                    help="encoder_remat: none|full|dots (config.py)")
     p.add_argument("--qkv_impl", type=str, default=None,
-                   help="flash_qkv head-loop strategy: unroll|fori")
+                   help="flash_qkv head-loop strategy: unroll|fori|split")
     p.add_argument("--qkv_budget", type=int, default=0,
                    help="flash_qkv per-cell score budget bytes (0=default)")
     a = p.parse_args()
