@@ -28,10 +28,24 @@ Weights are passed through constant-index BlockSpecs; Mosaic's block
 revisiting skips the re-fetch when the block index is unchanged between
 grid iterations, so W1/W2 stream into VMEM once, not once per cell.
 
-Non-TPU backends fall back to an XLA implementation of identical
-semantics (host-PRNG dropout16 masks — same distribution, different
-bits); the kernels are verified on-chip by scripts/tpu_kernel_check.py
-(fused_ffn cases: mask replay + full input/parameter gradient check).
+Round-5 revisions (mirroring ops/flash_qkv):
+
+- **Native-dtype MXU operands**: the four dot-generals consume operands
+  in the INPUT dtype with f32 accumulation via ``preferred_element_type``
+  (weights are cast to the input dtype first, exactly what the non-fused
+  ``nn.Dense(dtype=bf16)`` path does) — bf16 configs run the MXU at its
+  bf16 rate; LN/GELU/dropout math stays f32.
+- **rate==0 draws no PRNG bits at all** (``thresh=None``): the act/eval
+  forward skips both mask draws, and the dropout-free kernel runs in
+  interpreter mode on non-TPU backends so CPU tests exercise the REAL
+  kernels (incl. the backward's sequential-grid parameter-gradient
+  accumulation), not just the fallback.
+
+Non-TPU backends with ``rate > 0`` fall back to an XLA implementation of
+identical semantics (host-PRNG dropout16 masks — same distribution,
+different bits); the dropout kernels are verified on-chip by
+scripts/tpu_kernel_check.py (fused_ffn cases: mask replay + full
+input/parameter gradient check).
 """
 
 from __future__ import annotations
@@ -111,16 +125,30 @@ def _gelu_grad(h):
     return cdf + h * phi
 
 
-def _recompute_fwd(x, g1, b1, w1, c1, w2, c2, *, eps, thresh, inv_keep):
-    """Shared fwd chain (f32 in VMEM). Returns every intermediate the
-    backward needs. Draws TWO PRNG masks in a fixed order."""
+def _recompute_fwd(x, g1, b1, w1, c1, w2, c2, dt, *, eps, thresh, inv_keep):
+    """Shared fwd chain. LN/GELU/dropout math is f32 in VMEM, but the MXU
+    dot operands are ``dt`` (the input dtype, round-5 native-dtype change
+    mirroring ops/flash_qkv: bf16 inputs run the MXU at its bf16 rate with
+    f32 accumulation via preferred_element_type — semantics-matched to the
+    non-fused nn.Dense(dtype=bf16) path, which casts params the same way).
+    Returns every intermediate the backward needs (``u``/``gd`` already in
+    ``dt`` — they are dot operands there too). Draws TWO PRNG masks in a
+    fixed order."""
     u, xhat, rstd = _layernorm(x, g1, b1, eps)
+    u = u.astype(dt)
     h = jax.lax.dot_general(
         u, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) + c1
     g = _gelu_exact(h)
+    if thresh is None:  # rate==0: no PRNG draws at all (flash_qkv contract)
+        m1 = m2 = None
+        gd = g.astype(dt)
+        y = jax.lax.dot_general(
+            gd, w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) + c2
+        return y, (u, xhat, rstd, h, m1, gd, m2)
     m1 = _keep(g.shape, thresh)
-    gd = jnp.where(m1, g * inv_keep, 0.0)
+    gd = jnp.where(m1, g * inv_keep, 0.0).astype(dt)
     y0 = jax.lax.dot_general(
         gd, w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) + c2
@@ -135,14 +163,16 @@ def _fwd_kernel(
 ):
     # Mosaic accepts at most TWO seed words: fold the grid cell into
     # word 0 (int32 wraparound is deterministic in both passes)
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
+    if thresh is not None:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
+    dt = x_ref.dtype
     x = x_ref[...].astype(jnp.float32)
     y, _ = _recompute_fwd(
         x,
         g1_ref[...].astype(jnp.float32), b1_ref[...].astype(jnp.float32),
-        w1_ref[...].astype(jnp.float32), c1_ref[...].astype(jnp.float32),
-        w2_ref[...].astype(jnp.float32), c2_ref[...].astype(jnp.float32),
-        eps=eps, thresh=thresh, inv_keep=inv_keep,
+        w1_ref[...].astype(dt), c1_ref[...].astype(jnp.float32),
+        w2_ref[...].astype(dt), c2_ref[...].astype(jnp.float32),
+        dt, eps=eps, thresh=thresh, inv_keep=inv_keep,
     )
     y_ref[...] = y.astype(y_ref.dtype)
 
@@ -155,36 +185,41 @@ def _bwd_kernel(
     # identical seeding + identical block shape -> identical masks
     # Mosaic accepts at most TWO seed words: fold the grid cell into
     # word 0 (int32 wraparound is deterministic in both passes)
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
+    if thresh is not None:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
+    dt = x_ref.dtype
     x = x_ref[...].astype(jnp.float32)
     g1 = g1_ref[...].astype(jnp.float32)
-    w1 = w1_ref[...].astype(jnp.float32)
-    w2 = w2_ref[...].astype(jnp.float32)
+    w1 = w1_ref[...].astype(dt)
+    w2 = w2_ref[...].astype(dt)
     dy = dy_ref[...].astype(jnp.float32)
 
     _, (u, xhat, rstd, h, m1, gd, m2) = _recompute_fwd(
         x, g1, b1_ref[...].astype(jnp.float32),
         w1, c1_ref[...].astype(jnp.float32),
         w2, c2_ref[...].astype(jnp.float32),
-        eps=eps, thresh=thresh, inv_keep=inv_keep,
+        dt, eps=eps, thresh=thresh, inv_keep=inv_keep,
     )
 
-    dy0 = jnp.where(m2, dy * inv_keep, 0.0)
+    # dropout/GELU/LN math stays f32; MXU operands are dt (module doc)
+    dy0 = dy if m2 is None else jnp.where(m2, dy * inv_keep, 0.0)
+    dy0d = dy0.astype(dt)
     dw2 = jax.lax.dot_general(  # gd^T dy0
-        gd, dy0, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        gd, dy0d, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     dc2 = jnp.sum(dy0, axis=0, keepdims=True)
     dgd = jax.lax.dot_general(  # dy0 W2^T
-        dy0, w2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        dy0d, w2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dg = jnp.where(m1, dgd * inv_keep, 0.0)
+    dg = dgd if m1 is None else jnp.where(m1, dgd * inv_keep, 0.0)
     dh = _gelu_grad(h) * dg
+    dhd = dh.astype(dt)
     dw1 = jax.lax.dot_general(  # u^T dh
-        u, dh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        u, dhd, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     dc1 = jnp.sum(dh, axis=0, keepdims=True)
     du = jax.lax.dot_general(  # dh W1^T
-        dh, w1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        dhd, w1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     # LayerNorm backward (row-wise over the feature axis)
     dgamma = jnp.sum(du * xhat, axis=0, keepdims=True)
@@ -216,6 +251,10 @@ def _bwd_kernel(
     dc2_ref[...] += dc2.astype(dc2_ref.dtype)
 
 
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
 def _geom(rows: int) -> Tuple[int, int]:
     r = _ROW_BLOCK
     return r, _pad_to(rows, r)
@@ -240,10 +279,10 @@ def _fwd(x2, params, seeds, eps, rate):
     r, rows_pad = _geom(rows)
     xp = jnp.pad(x2, [(0, rows_pad - rows), (0, 0)])
 
-    thresh = keep_threshold(rate)
+    thresh = keep_threshold(rate) if rate > 0.0 else None
     kernel = functools.partial(
         _fwd_kernel, eps=eps, thresh=thresh,
-        inv_keep=inv_keep_scale(thresh),
+        inv_keep=inv_keep_scale(thresh) if thresh is not None else 1.0,
     )
     row_spec = pl.BlockSpec((r, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
     y = pl.pallas_call(
@@ -258,6 +297,7 @@ def _fwd(x2, params, seeds, eps, rate):
         ],
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((rows_pad, dim), x2.dtype),
+        interpret=_interpret(),
     )(seeds, xp, _r2(g1), _r2(b1), w1, _r2(c1), w2, _r2(c2))
     return y[:rows]
 
@@ -271,10 +311,10 @@ def _bwd(eps, rate, res, dy2):
     xp = jnp.pad(x2, [(0, rows_pad - rows), (0, 0)])
     dyp = jnp.pad(dy2, [(0, rows_pad - rows), (0, 0)])
 
-    thresh = keep_threshold(rate)
+    thresh = keep_threshold(rate) if rate > 0.0 else None
     kernel = functools.partial(
         _bwd_kernel, eps=eps, thresh=thresh,
-        inv_keep=inv_keep_scale(thresh),
+        inv_keep=inv_keep_scale(thresh) if thresh is not None else 1.0,
     )
     row_spec = pl.BlockSpec((r, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
     f32 = jnp.float32
@@ -304,6 +344,7 @@ def _bwd(eps, rate, res, dy2):
             jax.ShapeDtypeStruct((hid, dim), f32),
             jax.ShapeDtypeStruct((1, dim), f32),
         ],
+        interpret=_interpret(),
     )(seeds, xp, _r2(g1), _r2(b1), w1, _r2(c1), w2, _r2(c2), dyp)
     cast = lambda g, p: g.reshape(p.shape).astype(p.dtype)
     return (
@@ -370,7 +411,9 @@ def fused_ffn(
     dim = x.shape[-1]
     x2 = x.reshape(-1, dim)
     params = (ln_scale, ln_bias, w1, b1, w2, b2)
-    if jax.default_backend() != "tpu":
+    if rate > 0.0 and jax.default_backend() != "tpu":
+        # interpreter mode has no on-core PRNG; the rate==0 path runs the
+        # real kernel in interpreter mode on CPU (flash_qkv contract)
         y = _xla_reference(x2, params, rng, eps, rate)
         return y.reshape(*lead, dim)
     if rate > 0.0:
