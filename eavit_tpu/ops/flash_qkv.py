@@ -121,8 +121,12 @@ _LANE = 128
 # reads scratch with dynamic LEADING-dim indexing (the cheap, supported
 # kind) and keeps one head's score temporaries loop-scoped, exactly like
 # "fori". Same gb scaling, no DynamicRotate in the lowering.
+# split budget: MEASURED (v5e, results/split_smoke_r5.out take 2) — the
+# backward's true per-cell stack at gb=4/n_pad=256 is 18.07 MB vs the 16 MB
+# scoped-vmem limit (the loop-scoped score temporaries shrink, but the 8
+# head-keyed scratch buffers + qkv/do blocks grow with gb). 512 KB -> gb=2.
 _DEFAULT_BUDGETS = {"unroll": 256 * 1024, "fori": 1024 * 1024,
-                    "split": 1024 * 1024}
+                    "split": 512 * 1024}
 # default stays "unroll" until the chip proves a loop impl (kernel check
 # 24/24 + update-bench win); flip via set_impl or by editing this constant
 _IMPL = "unroll"
@@ -155,9 +159,18 @@ def _budget() -> int:
     return _SCORE_BUDGET if _SCORE_BUDGET is not None else _DEFAULT_BUDGETS[_IMPL]
 
 
-def _batch_block(n_pad: int) -> int:
+def _batch_block(n_pad: int, itemsize: int = 2) -> int:
     per_row = n_pad * n_pad * 4  # one batch row's f32 scores for one head
-    return max(1, _budget() // per_row)
+    gb = max(1, _budget() // per_row)
+    if _IMPL == "split" and itemsize >= 4:
+        # MEASURED (results/split_smoke_r5b.out): the 7-8 head-keyed
+        # scratch buffers and the qkv/dO blocks double with f32 — the
+        # backward's stack hit 18.05 MB (vs the 16 MB scoped-vmem cap) at
+        # the gb the f32-score budget alone would allow. Halve gb for
+        # 4-byte dtypes. The PRNG replay (dropout_raw_bits_qkv) takes the
+        # same itemsize so its grid-cell -> batch-rows mapping matches.
+        gb = max(1, gb // 2)
+    return gb
 
 
 def supports(n: int, heads: int = 8) -> bool:
@@ -477,9 +490,9 @@ def _bwd_kernel_split(
         dqkv_ref[:, :, 2 * inner + lo:2 * inner + lo + dim_head] = dv_scr[h]
 
 
-def _geom(b: int, n: int):
+def _geom(b: int, n: int, itemsize: int = 2):
     n_pad = _pad_to(n, _LANE)
-    gb = _batch_block(n_pad)
+    gb = _batch_block(n_pad, itemsize)
     nb = -(-b // gb)  # cdiv: the last block overhangs; kernel masks
     return n_pad, gb, nb
 
@@ -487,7 +500,7 @@ def _geom(b: int, n: int):
 def _fwd(qkv, seeds, scale, heads, dim_head, num_special, thresh):
     b, n, three_i = qkv.shape
     inner = three_i // 3
-    n_pad, gb, nb = _geom(b, n)
+    n_pad, gb, nb = _geom(b, n, qkv.dtype.itemsize)
     fwd_kernels = {
         "unroll": _fwd_kernel, "fori": _fwd_kernel_fori,
         "split": _fwd_kernel_split,
@@ -532,7 +545,7 @@ def _fwd(qkv, seeds, scale, heads, dim_head, num_special, thresh):
 def _bwd(heads, dim_head, scale, num_special, thresh, res, cot):
     qkv, lse, seeds = res
     b, n, three_i = qkv.shape
-    n_pad, gb, nb = _geom(b, n)
+    n_pad, gb, nb = _geom(b, n, qkv.dtype.itemsize)
     bwd_kernels = {
         "unroll": _bwd_kernel, "fori": _bwd_kernel_fori,
         "split": _bwd_kernel_split,
@@ -674,14 +687,18 @@ def _bits_kernel(seed_ref, o_ref, scr, *, heads):
 
 
 def dropout_raw_bits_qkv(
-    b: int, heads: int, n: int, seeds: jax.Array
+    b: int, heads: int, n: int, seeds: jax.Array, itemsize: int = 2
 ) -> jnp.ndarray:
     """Replay the kernel's PRNG streams on an identical grid.
+
+    ``itemsize`` must be the qkv dtype's (the batch block — and therefore
+    the grid-cell -> batch-rows mapping the seeds key off — is
+    dtype-dependent for the split impl, _batch_block).
 
     Returns the raw 24-bit threshold values as int32 [B, H, N, N]; the keep
     mask the fwd/bwd kernels used is ``bits < keep_threshold(rate)``.
     """
-    n_pad, gb, nb = _geom(b, n)
+    n_pad, gb, nb = _geom(b, n, itemsize)
     bits = pl.pallas_call(
         functools.partial(_bits_kernel, heads=heads),
         grid=(nb,),

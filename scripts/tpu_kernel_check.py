@@ -165,8 +165,8 @@ def run_case_qkv(
     seeds = fq._seeds_from_rng(ks[1])
     thresh = fq.keep_threshold(rate) if rate > 0.0 else None
     if thresh is not None:
-        bits = jax.jit(fq.dropout_raw_bits_qkv, static_argnums=(0, 1, 2))(
-            b, heads, n, seeds
+        bits = jax.jit(fq.dropout_raw_bits_qkv, static_argnums=(0, 1, 2, 4))(
+            b, heads, n, seeds, jnp.dtype(dtype).itemsize
         )
         keep = jnp.asarray(np.asarray(bits) < thresh)  # [B, H, N, N]
         inv_keep = float((1 << 24) / thresh)
