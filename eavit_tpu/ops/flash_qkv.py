@@ -155,31 +155,40 @@ def set_impl(impl: str = "split") -> None:
     _IMPL = impl
 
 
-def _budget() -> int:
-    return _SCORE_BUDGET if _SCORE_BUDGET is not None else _DEFAULT_BUDGETS[_IMPL]
+def _effective_impl(itemsize: int = 2) -> str:
+    """The impl actually used for a given operand width.
+
+    split's gb>1 advantage only exists for 2-byte dtypes: at f32 the
+    backward's stack measured 18.05 MB over the 16 MB scoped-vmem cap at
+    gb=2 (results/split_smoke_r5b.out), and at the gb=1 that fits, split
+    is the same blocking as unroll with a ~19-minute Mosaic compile
+    (results/split_smoke_r5c.out: correct, rel_err 1.8e-5, but no upside).
+    So 4-byte dtypes under "split" route to the proven unroll kernels —
+    the PRNG replay (dropout_raw_bits_qkv) takes the same itemsize so the
+    grid-cell -> batch-rows mapping the seeds key off stays identical."""
+    if _IMPL == "split" and itemsize >= 4:
+        return "unroll"
+    return _IMPL
+
+
+def _budget(itemsize: int = 2) -> int:
+    if _SCORE_BUDGET is not None:
+        return _SCORE_BUDGET
+    return _DEFAULT_BUDGETS[_effective_impl(itemsize)]
 
 
 def _batch_block(n_pad: int, itemsize: int = 2) -> int:
     per_row = n_pad * n_pad * 4  # one batch row's f32 scores for one head
-    gb = max(1, _budget() // per_row)
-    if _IMPL == "split" and itemsize >= 4:
-        # MEASURED (results/split_smoke_r5b.out): the 7-8 head-keyed
-        # scratch buffers and the qkv/dO blocks double with f32 — the
-        # backward's stack hit 18.05 MB (vs the 16 MB scoped-vmem cap) at
-        # the gb the f32-score budget alone would allow. Halve gb for
-        # 4-byte dtypes. The PRNG replay (dropout_raw_bits_qkv) takes the
-        # same itemsize so its grid-cell -> batch-rows mapping matches.
-        gb = max(1, gb // 2)
-    return gb
+    return max(1, _budget(itemsize) // per_row)
 
 
-def supports(n: int, heads: int = 8) -> bool:
+def supports(n: int, heads: int = 8, itemsize: int = 2) -> bool:
     """True when the backward's recompute stack fits the scoped-vmem limit
     (module-constant provenance). The "unroll" impl keeps all heads'
-    temporaries live; "fori" keeps one head's."""
+    temporaries live; the loop impls keep one head's."""
     n_pad = _pad_to(n, _LANE)
-    per_temp = max(_budget(), n_pad * n_pad * 4)
-    live_heads = heads if _IMPL == "unroll" else 1
+    per_temp = max(_budget(itemsize), n_pad * n_pad * 4)
+    live_heads = heads if _effective_impl(itemsize) == "unroll" else 1
     return 5 * live_heads * per_temp <= _STACK_CAP
 
 
@@ -501,12 +510,13 @@ def _fwd(qkv, seeds, scale, heads, dim_head, num_special, thresh):
     b, n, three_i = qkv.shape
     inner = three_i // 3
     n_pad, gb, nb = _geom(b, n, qkv.dtype.itemsize)
+    impl = _effective_impl(qkv.dtype.itemsize)
     fwd_kernels = {
         "unroll": _fwd_kernel, "fori": _fwd_kernel_fori,
         "split": _fwd_kernel_split,
     }
     kernel = functools.partial(
-        fwd_kernels[_IMPL],
+        fwd_kernels[impl],
         scale=scale, n=n, heads=heads, dim_head=dim_head,
         num_special=num_special, thresh=thresh,
         inv_keep=inv_keep_scale(thresh) if thresh is not None else 1.0,
@@ -517,7 +527,7 @@ def _fwd(qkv, seeds, scale, heads, dim_head, num_special, thresh):
         "unroll": [],
         "fori": [head_block, lse_block],  # o_scr, lse_scr
         "split": [head_block] * 3 + [head_block, lse_block],  # q/k/v + o/lse
-    }[_IMPL]
+    }[impl]
     o, lse = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -546,12 +556,13 @@ def _bwd(heads, dim_head, scale, num_special, thresh, res, cot):
     qkv, lse, seeds = res
     b, n, three_i = qkv.shape
     n_pad, gb, nb = _geom(b, n, qkv.dtype.itemsize)
+    impl = _effective_impl(qkv.dtype.itemsize)
     bwd_kernels = {
         "unroll": _bwd_kernel, "fori": _bwd_kernel_fori,
         "split": _bwd_kernel_split,
     }
     kernel = functools.partial(
-        bwd_kernels[_IMPL],
+        bwd_kernels[impl],
         scale=scale, n=n, heads=heads, dim_head=dim_head,
         num_special=num_special, thresh=thresh,
         inv_keep=inv_keep_scale(thresh) if thresh is not None else 1.0,
@@ -565,7 +576,7 @@ def _bwd(heads, dim_head, scale, num_special, thresh, res, cot):
         "split": [head_block] * 4
         + [pltpu.VMEM((heads, gb, n_pad), jnp.float32)]
         + [head_block] * 3,
-    }[_IMPL]
+    }[impl]
     dqkv = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -646,7 +657,9 @@ def flash_mha_qkv(
     if rate > 0.0 and rng is None:
         raise ValueError("rate > 0 requires an rng")
     on_tpu = jax.default_backend() == "tpu"
-    if (rate > 0.0 and not on_tpu) or not supports(qkv.shape[1], heads):
+    if (rate > 0.0 and not on_tpu) or not supports(
+        qkv.shape[1], heads, qkv.dtype.itemsize
+    ):
         # interpreter mode has no on-core PRNG; oversize sequences would
         # overflow the per-cell VMEM working set
         return _xla_reference(qkv, heads, dim_head, rng, rate, scale, num_special)
