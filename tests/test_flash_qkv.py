@@ -177,3 +177,48 @@ def test_vit_end_to_end_parity():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-5
         )
+
+
+def test_effective_impl_dtype_routing():
+    """split's gb>1 advantage only exists for 2-byte dtypes: at itemsize>=4
+    the gb that fits the scoped-vmem cap makes split unroll's blocking with
+    a ~19-min Mosaic compile (results/split_smoke_r5c.out), so
+    _effective_impl must route wide dtypes to the proven unroll kernels —
+    and the PRNG replay must key off the same routing so the
+    grid-cell->batch-rows mapping is identical across fwd/bwd/replay."""
+    from eavit_tpu.ops.flash_qkv import _batch_block, _effective_impl
+
+    set_impl("split")
+    try:
+        assert _effective_impl(2) == "split"
+        assert _effective_impl(4) == "unroll"
+        # measured budgets: split 512 KB -> gb=2 at flagship n_pad=256;
+        # the f32 route inherits unroll's 256 KB -> gb=1
+        assert _batch_block(256, itemsize=2) == 2
+        assert _batch_block(256, itemsize=4) == 1
+    finally:
+        set_impl("unroll")
+    # unroll and fori are itemsize-invariant
+    for impl_name in ("unroll", "fori"):
+        set_impl(impl_name)
+        try:
+            assert _effective_impl(2) == impl_name
+            assert _effective_impl(4) == impl_name
+        finally:
+            set_impl("unroll")
+
+
+def test_supports_loop_impl_extends_head_range():
+    """supports() models the backward's recompute stack: unroll keeps all
+    heads' score temporaries live, the loop impls one head's — so at a
+    sequence length where 8 live heads overflow the 16 MB scoped-vmem cap,
+    split (2-byte operands) must still fit while unroll must not."""
+    set_impl("unroll")
+    assert not supports(512, heads=8, itemsize=2)  # 5*8*1MB = 40 MB > cap
+    set_impl("split")
+    try:
+        assert supports(512, heads=8, itemsize=2)  # 5*1*1MB = 5 MB
+        # the f32 route falls back to unroll's all-heads-live model
+        assert not supports(512, heads=8, itemsize=4)
+    finally:
+        set_impl("unroll")
